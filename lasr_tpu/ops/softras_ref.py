@@ -332,9 +332,9 @@ def soft_rasterize_ref(
     C = min(cfg.face_chunk, F)
     pad = (-F) % C
     if pad:
-        # Degenerate padding faces: all-zero verts -> clamped det, far outside
-        # every pixel -> D=0 contributions.  z=far+1 so they are z-culled too.
-        fv_pad = jnp.zeros((B, pad, 3, 3), face_vertices.dtype).at[..., 2].set(1e9)
+        # Degenerate padding faces far off-screen: every pixel is beyond the
+        # distance threshold (D=0) and the interpolated depth is z-culled.
+        fv_pad = jnp.full((B, pad, 3, 3), 1e5, face_vertices.dtype).at[..., 2].set(1e9)
         face_vertices = jnp.concatenate([face_vertices, fv_pad], 1)
         textures = jnp.concatenate(
             [textures, jnp.zeros((B, pad) + textures.shape[2:], textures.dtype)], 1)
@@ -390,14 +390,18 @@ def soft_rasterize_ref(
 
         if cfg.aggr_rgb == "softmax":
             z_norm = (farb - zp) / (farb - nearb)
-            # invalid faces were sanitized to zp=far => z_norm=0, so the exp
-            # argument stays <= 0 and finite without extra clamping; the max
-            # element keeps its own gradient (new_max is already grad-free).
+            # The exp argument must be masked *before* exponentiation: a
+            # distance-culled face can carry z_norm above the running max of
+            # the valid faces (e.g. background pixels), and exp would
+            # overflow before the zero weight could kill it.  The CUDA kernel
+            # `continue`s past such faces entirely.  The max element keeps its
+            # own gradient (new_max is grad-free).
             z_for_max = jnp.where(rgb_valid, sg(z_norm), -jnp.inf)
             new_max = jnp.maximum(s_max, jnp.max(z_for_max, -1))
             scale = jnp.exp((s_max - new_max) / cfg.gamma)
-            wgt = jnp.where(rgb_valid, soft, 0.0) * jnp.exp(
-                (z_norm - new_max[..., None]) / cfg.gamma)
+            arg = jnp.where(rgb_valid, (z_norm - new_max[..., None]) / cfg.gamma,
+                            -jnp.inf)
+            wgt = jnp.where(rgb_valid, soft, 0.0) * jnp.exp(arg)
             s_sum = s_sum * scale + wgt.sum(-1)
             rgb = rgb * scale[..., None] + (wgt[..., None] * color).sum(-2)
             s_max = new_max
