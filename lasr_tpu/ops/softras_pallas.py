@@ -1,0 +1,484 @@
+"""Soft rasterizer — Pallas TPU kernel with custom VJP.
+
+TPU-native re-derivation of the SoftRas CUDA kernels
+(ref:third_party/softras/soft_renderer/cuda/soft_rasterize_cuda_kernel.cu):
+
+  * CUDA launches one thread per pixel looping over all faces with atomicAdd
+    gradient scatter.  Here: the grid walks (batch, pixel tiles); each kernel
+    instance streams face chunks through VMEM with flash-attention-style
+    running (softmax_sum, softmax_max, rgb, alpha-product) accumulators.
+    The TPU grid is sequential per core, so the backward accumulates per-face
+    gradients across pixel tiles by revisiting the same output block — no
+    atomics needed.
+  * Data layout is lane-friendly: per-face quantities live as rows of a
+    [B, D, F] tensor (faces in lanes), pixels in sublanes; all pair math runs
+    on [PT, C] tiles on the VPU.
+
+Supported modes (the ones LASR trains with): dist_func='euclidean',
+aggr_rgb='softmax', aggr_alpha='prod', texture_type='vertex', double-sided.
+Everything else falls back to the jnp reference (ops/softras_ref.py), which
+this kernel is tested against bit-for-intent (forward and VJP).
+
+Gradient semantics match the CUDA backward (frozen closest point / frozen
+clipped barycentrics).  One deliberate deviation: the CUDA backward drops the
+alpha-channel gradient of faces whose interpolated depth falls outside
+[near, far] (cuda_kernel.cu:599 `continue` skips the final scatter), while the
+forward includes them in alpha; we keep forward/backward consistent.  LASR
+sets near/far to cover the full depth range each step
+(ref:nnutils/mesh_net.py:304-311), so the z-cull never fires in training.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .softras_ref import RasterizeConfig, soft_rasterize_ref
+
+# facedata row indices ([B, D, F] layout)
+_FX = 0          # 0-2   vertex x
+_FY = 3          # 3-5   vertex y
+_FZ = 6          # 6-8   vertex z
+_INV = 9         # 9-17  barycentric matrix, row-major
+_A0 = 18         # 18-26 per-edge face_sym differences a0_k[j] (k major)
+_RDEN = 27       # 27-29 1 / (a0_k[v0] - a0_k[v1])
+_A0V1 = 30       # 30-32 a0_k[v1]
+_RFZ = 33        # 33-35 1 / vertex z
+_OBT = 36        # 36-38 obtuse-corner flags
+_TEX = 39        # 39-47 vertex colors (vertex major: t0r t0g t0b t1r ...)
+_D = 48          # padded row count
+
+_EDGE = ((0, 1, 2), (1, 2, 0), (2, 0, 1))  # (v0, v1, v2) per edge k
+
+# fwd_raw column indices ([B, P, 8] layout)
+_ORGB = 0   # 0-2 rgb numerator/out
+_OALPHA = 3
+_OSSUM = 4
+_OSMAX = 5
+_OUT_COLS = 8
+
+_DEFAULT_PT = 512   # pixels per tile (sublanes)
+_DEFAULT_C = 128    # faces per chunk (lanes)
+
+
+def _sign_clamp(x, eps):
+    return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
+
+
+def build_facedata(face_vertices: jax.Array, textures: jax.Array,
+                   face_chunk: int = _DEFAULT_C) -> jax.Array:
+    """[B, F, 3, 3] verts + [B, F, 3, 3] vertex colors -> [B, _D, F'] rows.
+
+    F' is F padded to a multiple of `face_chunk` with far-off-screen faces.
+    Pure jnp; differentiation never crosses this function (the custom VJP
+    produces vertex/texture gradients directly).
+    """
+    B, F = face_vertices.shape[:2]
+    fx = face_vertices[..., 0]  # [B, F, 3]
+    fy = face_vertices[..., 1]
+    fz = face_vertices[..., 2]
+    x0, x1, x2 = fx[..., 0], fx[..., 1], fx[..., 2]
+    y0, y1, y2 = fy[..., 0], fy[..., 1], fy[..., 2]
+
+    det = x2 * (y0 - y1) + x0 * (y1 - y2) + x1 * (y2 - y0)
+    det = _sign_clamp(det, 1e-10)
+    inv = jnp.stack([
+        y1 - y2, x2 - x1, x1 * y2 - x2 * y1,
+        y2 - y0, x0 - x2, x2 * y0 - x0 * y2,
+        y0 - y1, x1 - x0, x0 * y1 - x1 * y0,
+    ], -1) / det[..., None]                      # [B, F, 9]
+
+    a0_rows, rden_rows, a0v1_rows = [], [], []
+    for (v0, v1, _v2) in _EDGE:
+        dx = fx[..., v0] - fx[..., v1]
+        dy = fy[..., v0] - fy[..., v1]
+        a0 = dx[..., None] * fx + dy[..., None] * fy   # [B, F, 3]
+        a0_rows.append(a0)
+        rden_rows.append(1.0 / _sign_clamp(a0[..., v0] - a0[..., v1], 1e-12))
+        a0v1_rows.append(a0[..., v1])
+
+    def obt_at(k0, k1, k2):
+        return (((fx[..., k1] - fx[..., k0]) * (fx[..., k2] - fx[..., k0])
+                 + (fy[..., k1] - fy[..., k0]) * (fy[..., k2] - fy[..., k0])) < 0)
+
+    obt = [obt_at(*e).astype(jnp.float32) for e in
+           ((0, 1, 2), (1, 2, 0), (2, 0, 1))]
+
+    rfz = 1.0 / _sign_clamp(fz, 1e-8)
+    tex = textures.reshape(B, F, 9)
+
+    rows = jnp.concatenate([
+        fx, fy, fz, inv,
+        jnp.concatenate(a0_rows, -1),
+        jnp.stack(rden_rows, -1),
+        jnp.stack(a0v1_rows, -1),
+        rfz,
+        jnp.stack(obt, -1),
+        tex,
+    ], -1)                                        # [B, F, 48]
+    assert rows.shape[-1] == _D
+    rows = rows.transpose(0, 2, 1)                # [B, _D, F]
+
+    pad = (-F) % face_chunk
+    if pad:
+        padrow = jnp.zeros((B, _D, pad), rows.dtype)
+        # off-screen: xy=1e5 so every pixel is beyond the distance threshold;
+        # rfz tiny so zp is huge and z-culled.
+        padrow = padrow.at[:, _FX:_FX + 6].set(1e5)
+        padrow = padrow.at[:, _RFZ:_RFZ + 3].set(1e-9)
+        padrow = padrow.at[:, _RDEN:_RDEN + 3].set(1e12)
+        rows = jnp.concatenate([rows, padrow], -1)
+    return rows
+
+
+def _pair_geometry(fd, xp, yp, sigma, threshold):
+    """Shared pair math for fwd/bwd kernels.
+
+    fd: callable row -> [1, C] face-quantity slice; xp/yp: [PT, 1].
+    Returns dict of [PT, C] arrays.
+    """
+    inv = [fd(_INV + i) for i in range(9)]
+    w0 = inv[0] * xp + inv[1] * yp + inv[2]
+    w1 = inv[3] * xp + inv[4] * yp + inv[5]
+    w2 = inv[6] * xp + inv[7] * yp + inv[8]
+    w = (w0, w1, w2)
+    inside = ((w0 > 0) & (w0 < 1) & (w1 > 0) & (w1 < 1) & (w2 > 0) & (w2 < 1))
+
+    fxv = [fd(_FX + j) for j in range(3)]
+    fyv = [fd(_FY + j) for j in range(3)]
+
+    # per-edge foot parameter t (fraction on v0) — raw and clamped
+    t_raw, t_clip = [], []
+    for k, (v0, v1, _v2) in enumerate(_EDGE):
+        a0 = [fd(_A0 + 3 * k + j) for j in range(3)]
+        wa0 = w0 * a0[0] + w1 * a0[1] + w2 * a0[2]
+        t = (wa0 - fd(_A0V1 + k)) * fd(_RDEN + k)
+        t_raw.append(t)
+        t_clip.append(jnp.clip(t, 0.0, 1.0))
+
+    def foot(k, t):
+        """(tc0, tc1, tc2, dis_x, dis_y) for edge k with foot parameter t."""
+        v0, v1, _ = _EDGE[k]
+        tc = [None, None, None]
+        tc[v0], tc[v1], tc[_EDGE[k][2]] = t, 1.0 - t, jnp.zeros_like(t)
+        dis_x = tc[0] * fxv[0] + tc[1] * fxv[1] + tc[2] * fxv[2] - xp
+        dis_y = tc[0] * fyv[0] + tc[1] * fyv[1] + tc[2] * fyv[2] - yp
+        return tc, dis_x, dis_y
+
+    # inside: nearest of the 3 unclamped edge feet
+    feet_in = [foot(k, t_raw[k]) for k in range(3)]
+    d_in = [dx * dx + dy * dy for _, dx, dy in feet_in]
+    best01 = d_in[0] < d_in[1]
+    best = jnp.where(best01 & (d_in[0] < d_in[2]), 0,
+                     jnp.where(~best01 & (d_in[1] < d_in[2]), 1, 2))
+
+    # outside: vertex-region selection with obtuse correction
+    def corner_dot(k0, k2):
+        return ((xp - fxv[k0]) * (fxv[k2] - fxv[k0])
+                + (yp - fyv[k0]) * (fyv[k2] - fyv[k0])) > 0
+
+    obt = [fd(_OBT + k) > 0.5 for k in range(3)]
+    v0sel = jnp.where(
+        (w1 <= 0) & (w2 <= 0),
+        jnp.where(obt[0] & corner_dot(0, 2), 2, 0),
+        jnp.where(
+            (w2 <= 0) & (w0 <= 0),
+            jnp.where(obt[1] & corner_dot(1, 0), 0, 1),
+            jnp.where(
+                (w0 <= 0) & (w1 <= 0),
+                jnp.where(obt[2] & corner_dot(2, 1), 1, 2),
+                jnp.where(w0 <= 0, 1, jnp.where(w1 <= 0, 2, 0)),
+            ),
+        ),
+    )
+    feet_out = [foot(k, t_clip[k]) for k in range(3)]
+
+    sel = jnp.where(inside, best, v0sel)
+
+    def pick(items_in, items_out):
+        out = jnp.where(inside, items_in[2], items_out[2])
+        for k in (1, 0):
+            out = jnp.where(sel == k, jnp.where(inside, items_in[k], items_out[k]), out)
+        return out
+
+    dis_x = pick([f[1] for f in feet_in], [f[1] for f in feet_out])
+    dis_y = pick([f[2] for f in feet_in], [f[2] for f in feet_out])
+    tc = [pick([f[0][j] for f in feet_in], [f[0][j] for f in feet_out])
+          for j in range(3)]
+
+    dis = dis_x * dis_x + dis_y * dis_y
+    sign = jnp.where(inside, 1.0, -1.0)
+    logits = sign * dis / sigma
+    soft = jax.nn.sigmoid(logits)
+    valid = inside | (dis < threshold)
+    soft = jnp.where(valid, soft, 0.0)
+    # log(1-D) = -softplus(logits); summed in log space because Mosaic has no
+    # lane reduce_prod and the log-sum is better conditioned anyway.  Where
+    # the f32 sigmoid saturates to exactly 1.0 the reference's product becomes
+    # an exact 0 (and its backward zeroes out via the 1e-6 clamp); propagate
+    # -inf so exp(logalpha) reproduces that exactly.
+    log1m = jnp.where(valid,
+                      jnp.where(soft >= 1.0, -jnp.inf,
+                                -jax.nn.softplus(logits)), 0.0)
+
+    # clipped barycentrics + interpolated depth
+    wc0, wc1, wc2 = (jnp.clip(c, 0.0, 1.0) for c in w)
+    rs = 1.0 / jnp.maximum(wc0 + wc1 + wc2, 1e-5)
+    wc0, wc1, wc2 = wc0 * rs, wc1 * rs, wc2 * rs
+    rfz = [fd(_RFZ + j) for j in range(3)]
+    inv_z = _sign_clamp(wc0 * rfz[0] + wc1 * rfz[1] + wc2 * rfz[2], 1e-12)
+    zp = 1.0 / inv_z
+
+    return dict(valid=valid, soft=soft, log1m=log1m, sign=sign,
+                dis_x=dis_x, dis_y=dis_y, tc=tc, wc=(wc0, wc1, wc2),
+                zp=zp, rfz=rfz)
+
+
+def _make_fd(data_ref, c0, C):
+    def fd(row):
+        return data_ref[0, row, pl.ds(c0, C)].reshape(1, C)
+    return fd
+
+
+def _pixel_coords(t, PT, S):
+    pix = t * PT + jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0)
+    xi = (pix % S).astype(jnp.float32)
+    row = (pix // S).astype(jnp.float32)
+    xp = (2.0 * xi + 1.0 - S) / S
+    yp = (S - 1.0 - 2.0 * row) / S
+    return xp, yp
+
+
+def _fwd_kernel(near_ref, far_ref, data_ref, out_ref, *, S, PT, C, nchunks,
+                sigma, gamma, eps, threshold, bg):
+    t = pl.program_id(1)
+    xp, yp = _pixel_coords(t, PT, S)
+    b = pl.program_id(0)
+    near = near_ref[b]
+    far = far_ref[b]
+    rzrange = 1.0 / (far - near)
+
+    logalpha0 = jnp.zeros((PT, 1), jnp.float32)
+    ssum0 = jnp.full((PT, 1), math.exp(eps / gamma), jnp.float32)
+    smax0 = jnp.full((PT, 1), eps, jnp.float32)
+    rgb0 = [jnp.full((PT, 1), bg[k] * math.exp(eps / gamma), jnp.float32)
+            for k in range(3)]
+
+    def body(i, carry):
+        logalpha, r0, r1, r2, ssum, smax = carry
+        fd = _make_fd(data_ref, i * C, C)
+        g = _pair_geometry(fd, xp, yp, sigma, threshold)
+
+        logalpha = logalpha + jnp.sum(g["log1m"], axis=-1, keepdims=True)
+
+        zp = g["zp"]
+        zvalid = (zp >= near) & (zp <= far)
+        rgb_valid = g["valid"] & zvalid
+        z_norm = (far - zp) * rzrange
+
+        z_masked = jnp.where(rgb_valid, z_norm, -jnp.inf)
+        new_max = jnp.maximum(smax, jnp.max(z_masked, -1, keepdims=True))
+        scale = jnp.exp((smax - new_max) / gamma)
+        wgt = jnp.where(rgb_valid, g["soft"], 0.0) * jnp.exp(
+            jnp.where(rgb_valid, (z_norm - new_max) / gamma, -jnp.inf))
+        ssum = ssum * scale + jnp.sum(wgt, -1, keepdims=True)
+
+        wc0, wc1, wc2 = g["wc"]
+        new_rgb = []
+        for k, rk in enumerate((r0, r1, r2)):
+            col = (wc0 * fd(_TEX + k) + wc1 * fd(_TEX + 3 + k)
+                   + wc2 * fd(_TEX + 6 + k))
+            new_rgb.append(rk * scale + jnp.sum(wgt * col, -1, keepdims=True))
+        return (logalpha, *new_rgb, ssum, new_max)
+
+    logalpha, r0, r1, r2, ssum, smax = jax.lax.fori_loop(
+        0, nchunks, body, (logalpha0, *rgb0, ssum0, smax0))
+
+    rsum = 1.0 / ssum
+    out = jnp.concatenate(
+        [r0 * rsum, r1 * rsum, r2 * rsum, 1.0 - jnp.exp(logalpha),
+         ssum, smax, jnp.zeros((PT, _OUT_COLS - 6), jnp.float32)], -1)
+    out_ref[0] = out
+
+
+def _bwd_kernel(near_ref, far_ref, data_ref, fwd_ref, gout_ref, grad_ref,
+                *, S, PT, C, nchunks, sigma, gamma, threshold):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        grad_ref[0, :, :] = jnp.zeros(grad_ref.shape[1:], jnp.float32)
+
+    xp, yp = _pixel_coords(t, PT, S)
+    b = pl.program_id(0)
+    near = near_ref[b]
+    far = far_ref[b]
+    rzrange = 1.0 / (far - near)
+
+    g_rgb = [gout_ref[0, :, k].reshape(PT, 1) for k in range(3)]
+    g_alpha = gout_ref[0, :, 3].reshape(PT, 1)
+    out_rgb = [fwd_ref[0, :, _ORGB + k].reshape(PT, 1) for k in range(3)]
+    out_alpha = fwd_ref[0, :, _OALPHA].reshape(PT, 1)
+    ssum = fwd_ref[0, :, _OSSUM].reshape(PT, 1)
+    smax = fwd_ref[0, :, _OSMAX].reshape(PT, 1)
+    rssum = 1.0 / ssum
+
+    def body(i, _):
+        c0 = i * C
+        fd = _make_fd(data_ref, c0, C)
+        g = _pair_geometry(fd, xp, yp, sigma, threshold)
+        soft = g["soft"]
+        valid = g["valid"]
+
+        # alpha ('prod'): dL/dD = g_alpha * prod_{j != f}(1-D_j)
+        #               = g_alpha * (1 - alpha_out) / max(1-D, 1e-6)
+        C_alpha = g_alpha * (1.0 - out_alpha) / jnp.maximum(1.0 - soft, 1e-6)
+        C_alpha = jnp.where(valid, C_alpha, 0.0)
+
+        zp = g["zp"]
+        zvalid = (zp >= near) & (zp <= far)
+        rgb_valid = valid & zvalid
+        z_norm = (far - zp) * rzrange
+        zsm = jnp.where(rgb_valid, soft, 0.0) * jnp.exp(
+            jnp.where(rgb_valid, (z_norm - smax) / gamma, -jnp.inf)) * rssum
+
+        wc = g["wc"]
+        C_rgb = jnp.zeros_like(soft)
+        for k in range(3):
+            col = (wc[0] * fd(_TEX + k) + wc[1] * fd(_TEX + 3 + k)
+                   + wc[2] * fd(_TEX + 6 + k))
+            C_rgb += g_rgb[k] * (col - out_rgb[k])
+            # texture grads: rows 9..17 of grad block (vertex major)
+            for j in range(3):
+                gt = jnp.sum(zsm * wc[j] * g_rgb[k], axis=0, keepdims=True)
+                row = 9 + 3 * j + k
+                grad_ref[0, row:row + 1, pl.ds(c0, C)] += gt
+        C_rgb = C_rgb * zsm
+
+        # z grads: rows 6..8
+        C_z = C_rgb / gamma * (-rzrange) * zp * zp
+        for j in range(3):
+            gz = jnp.sum(C_z * wc[j] * g["rfz"][j] * g["rfz"][j],
+                         axis=0, keepdims=True)
+            grad_ref[0, 6 + j:7 + j, pl.ds(c0, C)] += gz
+
+        # xy grads through the sigmoid-distance chain: rows 0..5
+        C_xy = C_alpha + jnp.where(soft > 0, C_rgb / jnp.maximum(soft, 1e-30), 0.0)
+        C_xy = C_xy * soft * (1.0 - soft) / sigma
+        base = 2.0 * g["sign"] * C_xy
+        for j in range(3):
+            gx = jnp.sum(base * g["tc"][j] * g["dis_x"], axis=0, keepdims=True)
+            gy = jnp.sum(base * g["tc"][j] * g["dis_y"], axis=0, keepdims=True)
+            grad_ref[0, 0 + j:1 + j, pl.ds(c0, C)] += gx
+            grad_ref[0, 3 + j:4 + j, pl.ds(c0, C)] += gy
+        return _
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+def _supported(cfg: RasterizeConfig, image_size_sq_pt: bool = True) -> bool:
+    return (cfg.dist_func == "euclidean" and cfg.aggr_rgb == "softmax"
+            and cfg.aggr_alpha == "prod" and cfg.texture_type == "vertex"
+            and cfg.double_side)
+
+
+def _fwd_pallas(facedata, near, far, cfg: RasterizeConfig, interpret: bool):
+    B = facedata.shape[0]
+    Fp = facedata.shape[2]
+    S = cfg.image_size
+    P = S * S
+    PT = min(_DEFAULT_PT, P)
+    C = _DEFAULT_C
+    assert P % PT == 0 and Fp % C == 0
+    kern = functools.partial(
+        _fwd_kernel, S=S, PT=PT, C=C, nchunks=Fp // C,
+        sigma=cfg.sigma, gamma=cfg.gamma, eps=cfg.eps,
+        threshold=cfg.dist_threshold, bg=cfg.background)
+    return pl.pallas_call(
+        kern,
+        grid=(B, P // PT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _D, Fp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, PT, _OUT_COLS), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, _OUT_COLS), jnp.float32),
+        interpret=interpret,
+    )(near, far, facedata)
+
+
+def _bwd_pallas(facedata, fwd_raw, gout, near, far, cfg: RasterizeConfig,
+                interpret: bool):
+    B = facedata.shape[0]
+    Fp = facedata.shape[2]
+    S = cfg.image_size
+    P = S * S
+    PT = min(_DEFAULT_PT, P)
+    C = _DEFAULT_C
+    kern = functools.partial(
+        _bwd_kernel, S=S, PT=PT, C=C, nchunks=Fp // C,
+        sigma=cfg.sigma, gamma=cfg.gamma, threshold=cfg.dist_threshold)
+    return pl.pallas_call(
+        kern,
+        grid=(B, P // PT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _D, Fp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PT, _OUT_COLS), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PT, 4), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 18, Fp), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 18, Fp), jnp.float32),
+        interpret=interpret,
+    )(near, far, facedata, fwd_raw, gout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def soft_rasterize_pallas(face_vertices, textures, near, far,
+                          cfg: RasterizeConfig, interpret: bool = False):
+    """[B, F, 3, 3] verts + [B, F, 3, 3] vertex colors -> [B, 4, H, W]."""
+    out, _ = _pallas_fwd(face_vertices, textures, near, far, cfg, interpret)
+    return out
+
+
+def _pallas_fwd(face_vertices, textures, near, far, cfg, interpret):
+    B, F = face_vertices.shape[:2]
+    S = cfg.image_size
+    near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), (B,))
+    far = jnp.broadcast_to(jnp.asarray(far, jnp.float32), (B,))
+    facedata = build_facedata(face_vertices.astype(jnp.float32),
+                              textures.astype(jnp.float32))
+    fwd_raw = _fwd_pallas(facedata, near, far, cfg, interpret)
+    out = fwd_raw[..., :4].reshape(B, S, S, 4).transpose(0, 3, 1, 2)
+    return out, (facedata, fwd_raw, near, far, F)
+
+
+def _pallas_bwd(cfg, interpret, res, g):
+    facedata, fwd_raw, near, far, F = res
+    B = facedata.shape[0]
+    P = cfg.image_size ** 2
+    gout = g.transpose(0, 2, 3, 1).reshape(B, P, 4).astype(jnp.float32)
+    grads = _bwd_pallas(facedata, fwd_raw, gout, near, far, cfg, interpret)
+    grads = grads[..., :F]                       # drop padding faces
+    gx = grads[:, 0:3].transpose(0, 2, 1)        # [B, F, 3]
+    gy = grads[:, 3:6].transpose(0, 2, 1)
+    gz = grads[:, 6:9].transpose(0, 2, 1)
+    g_verts = jnp.stack([gx, gy, gz], -1)        # [B, F, 3, 3]
+    g_tex = grads[:, 9:18].transpose(0, 2, 1).reshape(B, F, 3, 3)
+    return g_verts, g_tex, None, None
+
+
+soft_rasterize_pallas.defvjp(_pallas_fwd, _pallas_bwd)

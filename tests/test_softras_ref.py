@@ -15,9 +15,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-jax.config.update("jax_enable_x64", True)
-
 from lasr_tpu.ops import softras_ref as sr
+
+
+@pytest.fixture(autouse=True)
+def _x64():
+    """f64 for finite differences, scoped so it can't leak into other modules."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
 
 
 def tri_scene(dtype=jnp.float64):
