@@ -1,0 +1,88 @@
+"""Run configuration.
+
+Mirrors the reference's absl flags (ref:optimize.py:33-36,
+ref:nnutils/train_utils.py:58-68, ref:nnutils/mesh_net.py:54-73,
+ref:dataloader/vid.py:34-35) plus the per-sequence INI configs
+(ref:configs/*.config)."""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import os
+
+
+@dataclasses.dataclass
+class LasrConfig:
+    # experiment / io
+    name: str = "exp_name"
+    checkpoint_dir: str = "log"
+    model_path: str = ""
+    dataname: str = "spot3"
+    sil_path: str = "none"
+    save_epoch_freq: int = 1
+    seed: int = 0
+
+    # optimization
+    num_epochs: int = 1000
+    learning_rate: float = 1e-4
+    batch_size: int = 8          # frame pairs per device
+    ngpu: int = 1                # data-parallel devices
+
+    # model / topology
+    img_size: int = 256
+    nz_feat: int = 200
+    subdivide: int = 3
+    symidx: int = 0
+    n_bones: int = 1
+    n_faces: int = 1280
+    n_hypo: int = 1
+    symmetric: bool = True
+    symmetric_loss: bool = True
+    symmetric_texture: bool = True
+    only_mean_sym: bool = False
+    opt_tex: bool = True
+    texture: bool = True
+
+    # energy knobs
+    use_gtpose: bool = False
+    noise: bool = True
+    rscale: float = 1.0
+    l1tex_wt: float = 1.0
+    sigval: float = 1e-4
+
+    # runtime
+    n_data_workers: int = 1
+    use_pallas: bool | None = None   # None = auto (TPU yes, CPU interpret off)
+
+    @property
+    def save_dir(self) -> str:
+        return os.path.join(self.checkpoint_dir, self.name)
+
+
+@dataclasses.dataclass
+class SequenceConfig:
+    """Per-sequence data descriptor (ref:configs/spot3.config)."""
+    datapath: str
+    dframe: int = 1
+    init_frame: int = 0
+    end_frame: int = -1
+    can_frame: int = 0
+
+    @staticmethod
+    def load(path: str) -> "SequenceConfig":
+        cp = configparser.RawConfigParser()
+        if not cp.read(path):
+            raise FileNotFoundError(path)
+        d = cp["data"]
+        return SequenceConfig(
+            datapath=str(d["datapath"]),
+            dframe=int(d["dframe"]),
+            init_frame=int(d["init_frame"]),
+            end_frame=int(d["end_frame"]),
+            can_frame=int(d["can_frame"]),
+        )
+
+    @staticmethod
+    def load_name(dataname: str, configs_dir: str = "configs") -> "SequenceConfig":
+        return SequenceConfig.load(os.path.join(configs_dir, f"{dataname}.config"))

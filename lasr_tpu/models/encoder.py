@@ -1,0 +1,141 @@
+"""CNN encoder + camera/bone code predictor (flax).
+
+Behavioral parity with ref:third_party/ext_nnutils/net_blocks.py:
+  * Encoder: ResNet18-topology conv trunk -> stride-2 4x4 conv (512->256) ->
+    two fc layers -> nz_feat code (Encoder:316-339).
+  * CodePredictor heads with the reference's parametrization quirks:
+    +10 rest-quaternion bias on non-body bones (QuatPredictor:353),
+    +20 depth offset with ReLU floor (DepthPredictor:372-382),
+    /10 scalings of trans/ppoint/bone-depth (CodePredictor:438-450),
+    per-hypothesis banks for quat and scale only.
+
+Substitution (documented in docs/DESIGN.md): no ImageNet-pretrained weights
+are available offline, so the trunk is deterministically He-initialized and
+all norm layers are affine-only ("frozen") — functionally what the reference
+runs, since it forces every BatchNorm to eval() from step 0
+(ref:nnutils/mesh_net.py:190-195).
+
+Layout: images are NHWC float32 in [-2.5, 2.5]-ish (ImageNet-normalized).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import quat as quat_ops
+
+
+class AffineNorm(nn.Module):
+    """Frozen-BatchNorm equivalent: y = x * scale + bias (per channel)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return x * scale + bias
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
+                    padding=1, use_bias=False)(x)
+        y = AffineNorm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False)(y)
+        y = AffineNorm()(y)
+        if self.stride != 1 or identity.shape[-1] != self.features:
+            identity = nn.Conv(self.features, (1, 1),
+                               (self.stride, self.stride), use_bias=False)(x)
+            identity = AffineNorm()(identity)
+        return nn.relu(y + identity)
+
+
+class Encoder(nn.Module):
+    """Image [B, S, S, 3] -> code [B, nz_feat]."""
+
+    nz_feat: int = 200
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False)(x)
+        x = nn.relu(AffineNorm()(x))
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        for feats, stride in ((64, 1), (128, 2), (256, 2), (512, 2)):
+            x = BasicBlock(feats, stride)(x)
+            x = BasicBlock(feats, 1)(x)
+        # ref enc_conv1: 4x4 stride-2 conv 512->256 + norm + leaky relu
+        x = nn.Conv(256, (4, 4), (2, 2), padding=1,
+                    kernel_init=nn.initializers.normal(0.02))(x)
+        x = nn.leaky_relu(AffineNorm()(x), 0.2)
+        x = x.reshape(x.shape[0], -1)
+        for _ in range(2):
+            x = nn.Dense(self.nz_feat,
+                         kernel_init=nn.initializers.normal(0.02))(x)
+            x = nn.leaky_relu(AffineNorm()(x), 0.2)
+        return x
+
+
+class CodePredictor(nn.Module):
+    """Code [B, nz] -> camera/bone parameters.
+
+    Returns dict:
+      scale  [B, H]          focal multiplier, relu(x+20)+eps
+      rotmat [B, H, K, 3, 3] R(q) with +10 rest bias on bones
+      trans  [B, K, 2]       shared across hypotheses
+      depth  [B, K]          body ~ relu(x+20), bones (relu(x+20)-20)/10
+      ppoint [B, 2]          principal point offset /10
+    """
+
+    n_bones: int = 1
+    n_hypo: int = 1
+
+    @nn.compact
+    def __call__(self, feat):
+        B = feat.shape[0]
+        K, H = self.n_bones, self.n_hypo
+        init = nn.initializers.normal(0.02)
+
+        q = nn.Dense(4 * K * H, kernel_init=init, name="quat")(feat)
+        q = q.reshape(B, H, K, 4)
+        q = q.at[:, :, 1:, 3].add(10.0)
+        q = quat_ops.normalize(q)
+        rotmat = quat_ops.quat_to_rotmat_xyzw(q)
+
+        scale = nn.Dense(H, kernel_init=init, name="scale")(feat)
+        scale = jax.nn.relu(scale + 20.0) + 1e-12
+
+        trans = nn.Dense(2 * K, kernel_init=init, name="trans")(feat)
+        trans = trans.reshape(B, K, 2) / 10.0
+
+        depth = nn.Dense(K, kernel_init=init, name="depth")(feat)
+        depth = jax.nn.relu(depth + 20.0) + 1e-12
+        if K > 1:
+            depth = jnp.concatenate(
+                [depth[:, :1], (depth[:, 1:] - 20.0) / 10.0], axis=1)
+
+        ppoint = nn.Dense(2, kernel_init=init, name="ppoint")(feat) / 10.0
+
+        return dict(scale=scale, rotmat=rotmat, quat=q, trans=trans,
+                    depth=depth, ppoint=ppoint)
+
+
+def create_nets(key: jax.Array, img_size: int, nz_feat: int, n_bones: int,
+                n_hypo: int):
+    """Initialize encoder + predictor; returns (modules, params)."""
+    enc = Encoder(nz_feat=nz_feat)
+    pred = CodePredictor(n_bones=n_bones, n_hypo=n_hypo)
+    k1, k2 = jax.random.split(key)
+    dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    enc_params = enc.init(k1, dummy)
+    pred_params = pred.init(k2, jnp.zeros((1, nz_feat), jnp.float32))
+    return (enc, pred), {"encoder": enc_params, "code_predictor": pred_params}

@@ -1,0 +1,88 @@
+"""Feature-space perceptual distance (flax).
+
+Parity target: the reference's LPIPS 'net' mode — an AlexNet feature stack
+where the distance is sum over 5 conv slices of (1 - spatial-mean cosine
+similarity of channel-normalized features); uncalibrated, no learned linear
+weights (ref:nnutils/train_utils.py:121 -> PerceptualSimilarity PNet,
+networks_basic.py:13-65, util.py:71-83).
+
+Substitution: ImageNet AlexNet weights are unavailable offline, so features
+come from a deterministically He-initialized AlexNet of the same topology
+(random-feature perceptual losses are a standard stand-in; the term is
+0.005-weighted in the LASR energy).  `load_torch_weights` accepts converted
+torchvision weights when present.
+
+Inputs are NCHW in [-1, 1] (the reference calls forward_pair(2*img-1, ...)).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+class AlexNetFeatures(nn.Module):
+    """AlexNet conv trunk, returning the 5 relu slices (NHWC)."""
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        x = nn.relu(nn.Conv(64, (11, 11), (4, 4), padding=2)(x))
+        outs.append(x)
+        x = nn.max_pool(x, (3, 3), (2, 2))
+        x = nn.relu(nn.Conv(192, (5, 5), padding=2)(x))
+        outs.append(x)
+        x = nn.max_pool(x, (3, 3), (2, 2))
+        x = nn.relu(nn.Conv(384, (3, 3), padding=1)(x))
+        outs.append(x)
+        x = nn.relu(nn.Conv(256, (3, 3), padding=1)(x))
+        outs.append(x)
+        x = nn.relu(nn.Conv(256, (3, 3), padding=1)(x))
+        outs.append(x)
+        return outs
+
+
+def _normalize_channels(feat, eps=1e-10):
+    norm = jnp.sqrt((feat ** 2).sum(-1, keepdims=True))
+    return feat / (norm + eps)
+
+
+class PerceptualLoss:
+    def __init__(self, key: jax.Array | None = None):
+        self.net = AlexNetFeatures()
+        if key is None:
+            key = jax.random.PRNGKey(1234)
+        self.params = self.net.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))
+
+    def __call__(self, img0: jax.Array, img1: jax.Array) -> jax.Array:
+        """img0/img1 [B, 3, H, W] in [-1, 1] -> [B] distances."""
+        def prep(im):
+            im = (im - _SHIFT[None, :, None, None]) / _SCALE[None, :, None, None]
+            return im.transpose(0, 2, 3, 1)
+
+        f0 = self.net.apply(self.params, prep(img0))
+        f1 = self.net.apply(self.params, prep(img1))
+        total = 0.0
+        for a, b in zip(f0, f1):
+            cos = (_normalize_channels(a) * _normalize_channels(b)).sum(-1)
+            total = total + (1.0 - cos.mean((1, 2)))
+        return total
+
+    def load_torch_weights(self, path: str) -> None:
+        """Optional: load converted torchvision AlexNet features weights from
+        an .npz of {conv{i}_w [out,in,kh,kw], conv{i}_b} torch-layout arrays."""
+        data = np.load(path)
+        params = jax.tree.map(lambda a: a, self.params)  # copy structure
+        flat = params["params"]
+        names = sorted(flat.keys(), key=lambda s: int(s.split("_")[-1]))
+        for i, name in enumerate(names):
+            w = data[f"conv{i}_w"].transpose(2, 3, 1, 0)  # OIHW -> HWIO
+            b = data[f"conv{i}_b"]
+            flat[name]["kernel"] = jnp.asarray(w)
+            flat[name]["bias"] = jnp.asarray(b)
+        self.params = params
