@@ -1,0 +1,43 @@
+"""SPMD data parallelism over a `data` mesh axis.
+
+Replaces the reference's DDP/NCCL process group (ref:optimize.py:42-47,
+ref:nnutils/train_utils.py:104-109): parameters are replicated, frame-pair
+batches are sharded over `data`, and XLA inserts the gradient all-reduce over
+ICI during jit partitioning — no explicit collectives in user code.  The
+rank-0 k-means broadcast (ref:train_utils.py:252-256) disappears: bone
+re-init is deterministic, so every replica computes identical values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(ndev: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if ndev is not None:
+        devs = devs[:ndev]
+    return Mesh(np.asarray(devs), ("data",))
+
+
+def shard_step(step_fn, mesh: Mesh):
+    """jit a training step with (params, opt_state) replicated and the
+    pair-id batch sharded over `data`.
+
+    step_fn(params, opt_state, pair_ids, rng, epoch, iters) -> pytrees.
+    """
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, shard, repl, repl, repl),
+        out_shardings=None,
+    )
+
+
+def put_sharded_ids(ids: np.ndarray, mesh: Mesh):
+    import jax.numpy as jnp
+    return jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data")))

@@ -1,0 +1,248 @@
+"""Per-video optimization driver (the reference's LASRTrainer,
+ref:nnutils/train_utils.py:87-360, rebuilt TPU-style).
+
+Key differences from the reference, by design:
+  * the whole step (gather batch -> energy -> grads -> clip -> AdamW update)
+    is one jitted XLA program; batches are device gathers from the
+    materialized video arrays (no host dataloader);
+  * data parallelism is SPMD: batches are sharded over a `data` mesh axis and
+    XLA inserts the gradient reductions (replacing DDP/NCCL,
+    ref:optimize.py:42-47); the k-means bone re-init is deterministic and
+    replicated, removing the rank-0 broadcast (ref:train_utils.py:252-256);
+  * the reference's OneCycleLR(anneal='linear', final_div_factor=1/25) is,
+    numerically, a linear warmup from max_lr/25 to max_lr over 1% of a
+    200-epoch horizon followed by a constant max_lr — implemented as exactly
+    that.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import LasrConfig
+from ..data.video import VideoDataset, gather_batch
+from ..models.lasr import LasrModel
+from ..utils.kmeans import kmeans
+from . import checkpoint as ckpt
+
+FAST_PARAMS = ("mean_v", "tex", "ctl_rs", "rest_ts", "ctl_ts", "log_ctl")
+
+
+def make_optimizer(cfg: LasrConfig, steps_per_epoch: int):
+    """AdamW with 50x learning rate on the shape/texture/bone parameters
+    (ref:nnutils/train_utils.py:205-225)."""
+    total_horizon = 200 * steps_per_epoch
+    warmup = max(int(0.01 * total_horizon), 1)
+
+    def sched(base):
+        return optax.join_schedules(
+            [optax.linear_schedule(base / 25.0, base, warmup),
+             optax.constant_schedule(base)], [warmup])
+
+    def make(base_lr):
+        return optax.adamw(sched(base_lr), b1=0.9, b2=0.999,
+                           weight_decay=1e-4)
+
+    def label(params):
+        return {k: ("fast" if k in FAST_PARAMS else "base") for k in params}
+
+    return optax.multi_transform(
+        {"base": make(cfg.learning_rate), "fast": make(50 * cfg.learning_rate)},
+        label)
+
+
+def clip_and_guard(grads):
+    """Reference gradient hygiene (ref:nnutils/train_utils.py:282-291):
+    per-parameter clip of mean_v to norm 1, global clip of the CNN + heads to
+    norm 10, and a zero-all-grads guard if any gradient is non-finite."""
+    g = dict(grads)
+    meanv_norm = jnp.sqrt((g["mean_v"] ** 2).sum())
+    g["mean_v"] = g["mean_v"] * jnp.minimum(1.0, 1.0 / jnp.maximum(meanv_norm, 1e-12))
+
+    cam = {k: g[k] for k in ("encoder", "code_predictor")}
+    leaves = jax.tree_util.tree_leaves(cam)
+    cam_norm = jnp.sqrt(sum((l ** 2).sum() for l in leaves))
+    cam_scale = jnp.minimum(1.0, 10.0 / jnp.maximum(cam_norm, 1e-12))
+    for k in ("encoder", "code_predictor"):
+        g[k] = jax.tree.map(lambda x: x * cam_scale, g[k])
+
+    flat = jax.flatten_util.ravel_pytree(g)[0]
+    finite = jnp.isfinite(flat).all()
+    g = jax.tree.map(lambda x: jnp.where(finite, x, 0.0), g)
+    return g, meanv_norm, cam_norm, finite
+
+
+class Trainer:
+    def __init__(self, cfg: LasrConfig, configs_dir: str = "configs"):
+        self.cfg = cfg
+        self.dataset = VideoDataset(cfg, configs_dir)
+        self.dev_arrays = {k: jnp.asarray(v)
+                           for k, v in self.dataset.device_arrays().items()}
+
+        # model construction, with checkpoint surgery for stage transitions
+        patch = None
+        if cfg.model_path:
+            mean_shape, faces, patch = ckpt.load_with_surgery(cfg.model_path, cfg)
+            if not cfg.symmetric:
+                self.model = LasrModel(cfg, mean_shape=mean_shape, faces=faces)
+            else:
+                self.model = LasrModel(cfg)
+        else:
+            self.model = LasrModel(cfg)
+        self.params = self.model.init_params
+        if patch is not None:
+            self.params = ckpt.apply_patch(self.params, patch)
+
+        steps_per_epoch = len(self.dataset.epoch_schedule(
+            np.random.RandomState(0), cfg.batch_size, cfg.ngpu))
+        self.optimizer = make_optimizer(cfg, steps_per_epoch)
+        self.opt_state = self.optimizer.init(self.params)
+        self.epoch_nscore = np.zeros(cfg.n_hypo, np.float32)
+        self._build_step()
+        self.log = None
+        if cfg.checkpoint_dir:
+            os.makedirs(cfg.save_dir, exist_ok=True)
+            with open(os.path.join(cfg.save_dir, "opts.log"), "w") as f:
+                for k, v in vars(cfg).items():
+                    f.write(f"{k}: {v}\n")
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        model, optimizer, dev_arrays = self.model, self.optimizer, self.dev_arrays
+
+        def update_step(params, opt_state, pair_ids, rng, epoch, iters):
+            batch = gather_batch(dev_arrays, pair_ids)
+            (loss, aux), grads = jax.value_and_grad(
+                model.loss_fn, has_aux=True)(params, batch, rng, epoch, iters)
+            grads, gv, gc, finite = clip_and_guard(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            scalars = {k: aux[k] for k in aux
+                       if k in ("total_loss", "mask_loss", "flow_rd_loss",
+                                "texture_loss", "triangle_loss",
+                                "lmotion_loss", "arap_loss", "cam_loss",
+                                "bone_loc_loss")}
+            scalars["grad_meanv_norm"] = gv
+            scalars["grad_cam_norm"] = gc
+            scalars["grads_finite"] = finite
+            images = {k: aux[k] for k in
+                      ("mask_pred", "flow_rd", "vis_mask", "texture_render")}
+            return params, opt_state, scalars, aux["current_nscore"], images
+
+        if self.cfg.ngpu > 1:
+            from ..parallel import data_mesh, shard_step
+            self.mesh = data_mesh(self.cfg.ngpu)
+            self.update_step = shard_step(update_step, self.mesh)
+        else:
+            self.mesh = None
+            self.update_step = jax.jit(update_step)
+
+    # ------------------------------------------------------------------
+    def reinit_bones(self):
+        """Epoch-0 k-means bone placement (ref:nnutils/train_utils.py:243-251);
+        deterministic, so every data-parallel replica computes the same."""
+        cfg = self.cfg
+        if cfg.n_bones <= 1:
+            return
+        full = np.asarray(self.model.symmetrize(self.params["mean_v"]))
+        centers = np.stack([kmeans(full[h], cfg.n_bones - 1)
+                            for h in range(cfg.n_hypo)])
+        self.params["rest_ts"] = jnp.asarray(centers)
+        self.params["ctl_ts"] = jnp.asarray(centers)
+        self.params["ctl_rs"] = jnp.tile(jnp.asarray([0.0, 0, 0, 1]),
+                                         (cfg.n_hypo, cfg.n_bones - 1, 1))
+        self.params["log_ctl"] = jnp.ones((cfg.n_hypo, cfg.n_bones - 1, 3))
+
+    # ------------------------------------------------------------------
+    def train(self, log_images_fn=None, verbose: bool = True):
+        cfg = self.cfg
+        rng_np = np.random.RandomState(cfg.seed)
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        writer = self._tb_writer()
+        total_steps = 0
+        self.save("0")
+
+        for epoch in range(cfg.num_epochs):
+            if epoch == 0:
+                self.reinit_bones()
+            optim_idx = int(np.argmax(-self.epoch_nscore))
+            if verbose:
+                print(f"epoch {epoch}: scores {self.epoch_nscore}, "
+                      f"selecting hypothesis {optim_idx}")
+            self.epoch_nscore[:] = 0
+            sched = self.dataset.epoch_schedule(rng_np, cfg.batch_size, cfg.ngpu)
+            t0 = time.time()
+            nscore_acc = None
+            for i, ids in enumerate(sched):
+                key, sub = jax.random.split(key)
+                if self.mesh is not None:
+                    from ..parallel import put_sharded_ids
+                    dev_ids = put_sharded_ids(ids, self.mesh)
+                else:
+                    dev_ids = jnp.asarray(ids)
+                self.params, self.opt_state, scalars, nscore, images = \
+                    self.update_step(self.params, self.opt_state,
+                                     dev_ids, sub,
+                                     jnp.asarray(epoch), jnp.asarray(i))
+                if i > 100:
+                    nscore_acc = nscore if nscore_acc is None else nscore_acc + nscore
+                if writer is not None and i % 20 == 0:
+                    for k, v in scalars.items():
+                        writer.add_scalar(f"train/{k}", float(v),
+                                          total_steps + i)
+                if i == 0 and writer is not None:
+                    self._log_images(writer, images, ids, optim_idx, epoch)
+                if i == 0 and log_images_fn is not None:
+                    log_images_fn(epoch, images, ids)
+            if nscore_acc is not None:
+                self.epoch_nscore += np.asarray(nscore_acc)
+            total_steps += len(sched)
+            if verbose:
+                dt = time.time() - t0
+                print(f"  epoch {epoch}: {len(sched)} steps in {dt:.1f}s "
+                      f"({dt / len(sched) * 1e3:.0f} ms/step), "
+                      f"loss {float(scalars['total_loss']):.4f}")
+            if (epoch + 1) % cfg.save_epoch_freq == 0:
+                self.save("latest")
+                self.save(str(epoch + 1))
+        return self.params
+
+    # ------------------------------------------------------------------
+    def save(self, label: str):
+        path = os.path.join(self.cfg.save_dir, f"pred_net_{label}.npz")
+        ckpt.save_checkpoint(path, self.params, self.model, self.epoch_nscore)
+
+    def _tb_writer(self):
+        try:
+            from tensorboardX import SummaryWriter
+            return SummaryWriter(self.cfg.save_dir)
+        except Exception:
+            return None
+
+    def _log_images(self, writer, images, ids, optim_idx, epoch):
+        """TensorBoard image panels (ref:nnutils/train_utils.py:301-329)."""
+        from ..data.flowvis import flow_to_image
+        try:
+            mask_pred = np.asarray(images["mask_pred"])[0, optim_idx]
+            writer.add_image("train/mask", (255 * mask_pred).astype(np.uint8),
+                             epoch, dataformats="HW")
+            tex = np.asarray(images["texture_render"])[0, optim_idx]
+            writer.add_image("train/texture", (255 * tex).astype(np.uint8),
+                             epoch, dataformats="CHW")
+            vm = np.asarray(images["vis_mask"])[0, optim_idx].astype(bool)
+            fr = np.asarray(images["flow_rd"])[0, optim_idx]
+            fr = fr * vm[..., None]
+            writer.add_image("train/flowrd",
+                             flow_to_image(np.concatenate(
+                                 [fr, vm[..., None]], -1)).transpose(2, 0, 1),
+                             epoch, dataformats="CHW")
+        except Exception as e:          # vis must never kill a run
+            print(f"image logging failed: {e}")

@@ -1,0 +1,92 @@
+"""Per-video optimization entry point (parity-shaped with ref:optimize.py).
+
+Usage mirrors the reference:
+  python optimize.py --name=spot3-0 --checkpoint_dir log --dataname spot3 \
+      --n_bones 21 --n_hypo 8 --num_epochs 5 --batch_size 1 --opt_tex yes
+
+Distributed launch flags (--local_rank, torch.distributed) are gone: data
+parallelism is SPMD inside one process (--ngpu N shards batches over N
+devices of the jax mesh).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from absl import app, flags
+
+from lasr_tpu.config import LasrConfig
+from lasr_tpu.training.trainer import Trainer
+
+flags.DEFINE_string("name", "exp_name", "Experiment Name")
+flags.DEFINE_string("checkpoint_dir", "log", "Root directory for output files")
+flags.DEFINE_string("model_path", "", "load model path")
+flags.DEFINE_string("dataname", "spot3", "name of the sequence config")
+flags.DEFINE_string("sil_path", "none", "additional silhouette path")
+flags.DEFINE_integer("num_epochs", 1000, "Number of epochs to train")
+flags.DEFINE_float("learning_rate", 1e-4, "learning rate")
+flags.DEFINE_integer("batch_size", 8, "frame pairs per device")
+flags.DEFINE_integer("ngpu", 1, "number of data-parallel devices")
+flags.DEFINE_integer("save_epoch_freq", 1, "save model every k epochs")
+flags.DEFINE_integer("img_size", 256, "image size")
+flags.DEFINE_integer("nz_feat", 200, "Encoded feature size")
+flags.DEFINE_integer("subdivide", 3, "icosphere subdivisions")
+flags.DEFINE_integer("symidx", 0, "symmetry axis: 0-x 1-y 2-z")
+flags.DEFINE_integer("n_bones", 1, "number of bones (incl. body)")
+flags.DEFINE_string("n_faces", "1280", "target faces for remeshing")
+flags.DEFINE_integer("n_hypo", 1, "number of camera hypotheses")
+flags.DEFINE_boolean("symmetric", True, "symmetric mesh parametrization")
+flags.DEFINE_boolean("symmetric_loss", True, "use symmetry losses")
+flags.DEFINE_boolean("only_mean_sym", False, "only the mean shape is symmetric")
+flags.DEFINE_string("opt_tex", "yes", "optimize texture")
+flags.DEFINE_boolean("use_gtpose", False, "use GT cameras (camera still trained)")
+flags.DEFINE_boolean("noise", True, "pose-noise annealing")
+flags.DEFINE_float("rscale", 1.0, "scale noise variance")
+flags.DEFINE_float("l1tex_wt", 1.0, "weight of L1 texture loss")
+flags.DEFINE_float("sigval", 1e-4, "rasterizer blur sigma")
+flags.DEFINE_integer("seed", 0, "rng seed")
+flags.DEFINE_integer("local_rank", 0, "ignored (single-process SPMD)")
+
+FLAGS = flags.FLAGS
+
+
+def config_from_flags() -> LasrConfig:
+    return LasrConfig(
+        name=FLAGS.name,
+        checkpoint_dir=FLAGS.checkpoint_dir,
+        model_path=FLAGS.model_path,
+        dataname=FLAGS.dataname,
+        sil_path=FLAGS.sil_path,
+        num_epochs=FLAGS.num_epochs,
+        learning_rate=FLAGS.learning_rate,
+        batch_size=FLAGS.batch_size,
+        ngpu=FLAGS.ngpu,
+        save_epoch_freq=FLAGS.save_epoch_freq,
+        img_size=FLAGS.img_size,
+        nz_feat=FLAGS.nz_feat,
+        subdivide=FLAGS.subdivide,
+        symidx=FLAGS.symidx,
+        n_bones=FLAGS.n_bones,
+        n_faces=int(FLAGS.n_faces),
+        n_hypo=FLAGS.n_hypo,
+        symmetric=FLAGS.symmetric,
+        symmetric_loss=FLAGS.symmetric_loss,
+        only_mean_sym=FLAGS.only_mean_sym,
+        opt_tex=FLAGS.opt_tex == "yes",
+        use_gtpose=FLAGS.use_gtpose,
+        noise=FLAGS.noise,
+        rscale=FLAGS.rscale,
+        l1tex_wt=FLAGS.l1tex_wt,
+        sigval=FLAGS.sigval,
+        seed=FLAGS.seed,
+    )
+
+
+def main(_):
+    cfg = config_from_flags()
+    trainer = Trainer(cfg)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    app.run(main)

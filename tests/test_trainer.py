@@ -1,0 +1,116 @@
+"""Trainer integration tests on the synthetic spot fixture (CPU, tiny)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE = os.path.join(REPO, "database/DAVIS/JPEGImages/Full-Resolution/syn-spot3f")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(FIXTURE),
+                                reason="run scripts/render_syn.py first")
+
+from lasr_tpu.config import LasrConfig
+from lasr_tpu.data.video import VideoDataset, gather_batch
+from lasr_tpu.training import checkpoint as ckpt
+from lasr_tpu.training.trainer import Trainer, clip_and_guard, make_optimizer
+
+
+def small_cfg(tmp_path, **kw):
+    base = dict(name="t", checkpoint_dir=str(tmp_path), dataname="spot3",
+                img_size=64, subdivide=1, batch_size=1, num_epochs=1,
+                use_pallas=False, sigval=1e-3, n_bones=2, n_hypo=2)
+    base.update(kw)
+    return LasrConfig(**base)
+
+
+def test_dataset_loads():
+    cfg = LasrConfig(dataname="spot3", img_size=64)
+    os.chdir(REPO)
+    ds = VideoDataset(cfg)
+    # 3 frames -> 2 fw + 2 bw unique pairs
+    assert len(ds.unique_pairs) == 4
+    a = ds.device_arrays()
+    assert a["imgs"].shape == (4, 2, 3, 64, 64)
+    assert a["cams"].shape == (4, 2, 7)
+    # GT cameras were read: focal = 10 / alp, quats unit-norm
+    q = a["cams"][:, :, 3:7]
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-4)
+    assert (a["depth_gt"] == 10.0).all()
+    # masks nontrivial
+    frac = a["masks"].mean()
+    assert 0.2 < frac < 0.9
+    # flow in crop NDC: finite, below a few units
+    assert np.abs(a["flow"][:, :, :2]).max() < 5.0
+    # batch layout
+    batch = gather_batch({k: jnp.asarray(v) for k, v in a.items()},
+                         jnp.asarray([0, 2]))
+    assert batch["imgs"].shape == (4, 3, 64, 64)
+
+
+def test_two_steps_reduce_nothing_nan(tmp_path):
+    os.chdir(REPO)
+    cfg = small_cfg(tmp_path)
+    tr = Trainer(cfg)
+    tr.reinit_bones()
+    ids = jnp.asarray([0])
+    key = jax.random.PRNGKey(0)
+    p, s = tr.params, tr.opt_state
+    losses = []
+    for i in range(3):
+        p, s, scalars, nscore, _ = tr.update_step(
+            p, s, ids, jax.random.fold_in(key, i),
+            jnp.asarray(0), jnp.asarray(i))
+        losses.append(float(scalars["total_loss"]))
+        assert bool(scalars["grads_finite"])
+    assert all(np.isfinite(losses))
+    assert nscore.shape == (2,)
+
+
+def test_checkpoint_roundtrip_and_surgery(tmp_path):
+    os.chdir(REPO)
+    cfg = small_cfg(tmp_path, n_bones=3, n_hypo=2)
+    tr = Trainer(cfg)
+    tr.reinit_bones()
+    tr.epoch_nscore = np.array([5.0, 1.0], np.float32)  # hypo 1 wins
+    tr.save("latest")
+    path = os.path.join(cfg.save_dir, "pred_net_latest.npz")
+    assert os.path.exists(path)
+
+    # next stage: asymmetric, 1 hypothesis, more bones
+    cfg2 = small_cfg(tmp_path, symmetric=False, n_hypo=1, n_bones=4,
+                     model_path=path, n_faces=80)
+    tr2 = Trainer(cfg2)
+    assert tr2.params["mean_v"].shape[0] == 1
+    assert tr2.params["rest_ts"].shape == (1, 3, 3)
+    # full shape was used (asymmetric model predicts all verts)
+    assert tr2.params["mean_v"].shape[1] == tr2.model.num_verts
+    # winning hypothesis's mean_v was carried over
+    old = np.load(path)
+    full_old = old["__full_shape"]
+    np.testing.assert_allclose(np.asarray(tr2.params["mean_v"][0]), full_old,
+                               atol=1e-5)
+    # one step runs
+    p, s, scalars, _, _ = tr2.update_step(
+        tr2.params, tr2.opt_state, jnp.asarray([0]), jax.random.PRNGKey(0),
+        jnp.asarray(0), jnp.asarray(0))
+    assert np.isfinite(float(scalars["total_loss"]))
+
+
+def test_data_parallel_step(tmp_path):
+    os.chdir(REPO)
+    assert jax.device_count() >= 2
+    cfg = small_cfg(tmp_path, ngpu=2, batch_size=1, n_bones=1, n_hypo=1)
+    tr = Trainer(cfg)
+    from lasr_tpu.parallel import put_sharded_ids
+    ids = put_sharded_ids(np.asarray([0, 1]), tr.mesh)
+    p, s, scalars, nscore, _ = tr.update_step(
+        tr.params, tr.opt_state, ids, jax.random.PRNGKey(0),
+        jnp.asarray(0), jnp.asarray(0))
+    assert np.isfinite(float(scalars["total_loss"]))
+    # params stay replicated across devices
+    leaf = jax.tree_util.tree_leaves(p)[0]
+    assert leaf.sharding.is_fully_replicated
