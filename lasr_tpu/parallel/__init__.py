@@ -27,13 +27,14 @@ def shard_step(step_fn, mesh: Mesh):
     """jit a training step with (params, opt_state) replicated and the
     pair-id batch sharded over `data`.
 
-    step_fn(params, opt_state, pair_ids, rng, epoch, iters) -> pytrees.
+    step_fn(params, opt_state, dev_arrays, pair_ids, rng, epoch, iters)
+    -> pytrees.
     """
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
     return jax.jit(
         step_fn,
-        in_shardings=(repl, repl, shard, repl, repl, repl),
+        in_shardings=(repl, repl, repl, shard, repl, repl, repl),
         out_shardings=None,
     )
 

@@ -176,6 +176,46 @@ def load_with_surgery(path: str, cfg: LasrConfig, remesh_fn=None):
     return mean_shape, faces, patch
 
 
+def load_with_surgery_eval(path: str, cfg: LasrConfig):
+    """Eval-mode loading (ref:nnutils/predictor.py:103-154): hypothesis
+    selection only — the checkpoint's topology and bone count must already
+    match cfg (no remesh, no head expansion)."""
+    flat, meta = load_raw(path)
+    h_old = int(meta["__n_hypo"])
+    faces = meta["__faces"]
+    scores = -meta["__epoch_nscore"]
+
+    def head(name, comp):
+        return f"code_predictor/params/{name}/{comp}"
+
+    if cfg.n_hypo < h_old:
+        optim = int(scores.argmax())
+        nz = flat[head("quat", "kernel")].shape[0]
+        flat[head("quat", "kernel")] = flat[head("quat", "kernel")].reshape(
+            nz, h_old, -1)[:, optim].reshape(nz, -1)
+        flat[head("quat", "bias")] = flat[head("quat", "bias")].reshape(
+            h_old, -1)[optim].reshape(-1)
+        flat[head("scale", "kernel")] = flat[head("scale", "kernel")].reshape(
+            nz, h_old, -1)[:, optim].reshape(nz, -1)
+        flat[head("scale", "bias")] = flat[head("scale", "bias")].reshape(
+            h_old, -1)[optim].reshape(-1)
+        flat["mean_v"] = flat["mean_v"][optim: optim + 1]
+        flat["tex"] = flat["tex"][optim: optim + 1]
+        for k in ("ctl_rs", "rest_ts", "ctl_ts", "log_ctl"):
+            if k in flat:
+                flat[k] = flat[k][optim: optim + 1]
+
+    patch = {"__flat__": {k: v for k, v in flat.items()
+                          if k.startswith(("encoder/", "code_predictor/"))}}
+    patch["mean_v"] = jnp.asarray(flat["mean_v"])
+    patch["tex"] = jnp.asarray(flat["tex"])
+    for k in ("ctl_rs", "rest_ts", "ctl_ts", "log_ctl"):
+        if k in flat:
+            patch[k] = jnp.asarray(flat[k])
+    mean_shape = None if cfg.symmetric else flat["mean_v"][0]
+    return mean_shape, faces, patch
+
+
 def apply_patch(init_params, patch):
     """Overlay a surgery patch onto freshly initialized stage params."""
     params = jax.tree.map(lambda x: x, init_params)

@@ -116,9 +116,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _build_step(self):
-        model, optimizer, dev_arrays = self.model, self.optimizer, self.dev_arrays
+        model, optimizer = self.model, self.optimizer
 
-        def update_step(params, opt_state, pair_ids, rng, epoch, iters):
+        def update_step(params, opt_state, dev_arrays, pair_ids, rng, epoch,
+                        iters):
+            # dev_arrays passed as an argument: closure-captured device
+            # arrays would be embedded in the HLO as constants and stall
+            # compilation with constant folding
             batch = gather_batch(dev_arrays, pair_ids)
             (loss, aux), grads = jax.value_and_grad(
                 model.loss_fn, has_aux=True)(params, batch, rng, epoch, iters)
@@ -144,6 +148,7 @@ class Trainer:
         else:
             self.mesh = None
             self.update_step = jax.jit(update_step)
+        self._raw_step = update_step
 
     # ------------------------------------------------------------------
     def reinit_bones(self):
@@ -190,7 +195,7 @@ class Trainer:
                     dev_ids = jnp.asarray(ids)
                 self.params, self.opt_state, scalars, nscore, images = \
                     self.update_step(self.params, self.opt_state,
-                                     dev_ids, sub,
+                                     self.dev_arrays, dev_ids, sub,
                                      jnp.asarray(epoch), jnp.asarray(i))
                 if i > 100:
                     nscore_acc = nscore if nscore_acc is None else nscore_acc + nscore

@@ -62,7 +62,7 @@ def test_two_steps_reduce_nothing_nan(tmp_path):
     losses = []
     for i in range(3):
         p, s, scalars, nscore, _ = tr.update_step(
-            p, s, ids, jax.random.fold_in(key, i),
+            p, s, tr.dev_arrays, ids, jax.random.fold_in(key, i),
             jnp.asarray(0), jnp.asarray(i))
         losses.append(float(scalars["total_loss"]))
         assert bool(scalars["grads_finite"])
@@ -95,8 +95,8 @@ def test_checkpoint_roundtrip_and_surgery(tmp_path):
                                atol=1e-5)
     # one step runs
     p, s, scalars, _, _ = tr2.update_step(
-        tr2.params, tr2.opt_state, jnp.asarray([0]), jax.random.PRNGKey(0),
-        jnp.asarray(0), jnp.asarray(0))
+        tr2.params, tr2.opt_state, tr2.dev_arrays, jnp.asarray([0]),
+        jax.random.PRNGKey(0), jnp.asarray(0), jnp.asarray(0))
     assert np.isfinite(float(scalars["total_loss"]))
 
 
@@ -108,7 +108,7 @@ def test_data_parallel_step(tmp_path):
     from lasr_tpu.parallel import put_sharded_ids
     ids = put_sharded_ids(np.asarray([0, 1]), tr.mesh)
     p, s, scalars, nscore, _ = tr.update_step(
-        tr.params, tr.opt_state, ids, jax.random.PRNGKey(0),
+        tr.params, tr.opt_state, tr.dev_arrays, ids, jax.random.PRNGKey(0),
         jnp.asarray(0), jnp.asarray(0))
     assert np.isfinite(float(scalars["total_loss"]))
     # params stay replicated across devices
