@@ -7,6 +7,15 @@ from __future__ import annotations
 import glob
 import os
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import cv2
 import numpy as np
 from absl import app, flags

@@ -13,6 +13,15 @@ from __future__ import annotations
 
 import sys
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from absl import app, flags
 
 from lasr_tpu.config import LasrConfig

@@ -1,0 +1,126 @@
+"""Optical-flow preprocessing: consecutive-frame flow + occlusion maps with
+median-flow frame skipping.
+
+Behavioral port of ref:preprocess/auto_gen.py: walks a raw sequence, computes
+forward flow between candidate frame pairs, skips frames whose median
+object-region flow (normalized by the silhouette extent) is below
+--flow_threshold, and writes the filtered r<seq> dataset: renumbered
+JPEGImages/Annotations plus FlowFW/FlowBW flo-/occ- PFMs.
+
+Flow backend: the reference runs the pretrained VCN-robust network
+(ref:third_party/ext_nnutils/VCNplus.py) whose weights are not distributable
+with this repo; the default backend here is OpenCV DIS optical flow with
+forward-backward-consistency occlusion scores.  Any backend producing
+(flow [H, W, 3], occ [H, W]) can be plugged via --backend.
+
+Usage:
+  python preprocess/auto_gen.py --seqname camel --datapath \
+      database/DAVIS/JPEGImages/Full-Resolution/camel --flow_threshold 0.05
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import cv2
+import numpy as np
+
+from lasr_tpu.data.pfm import write_pfm
+
+
+def dis_flow_backend(img0: np.ndarray, img1: np.ndarray):
+    """(flow [H, W, 3], occ [H, W]) via DIS flow + fw/bw consistency.
+
+    occ follows the VCN convention consumed by the dataloader
+    (ref:dataloader/vidbase.py:151): occ < 10 marks valid pixels and
+    sigmoid(-occ) weights the flow loss, so consistent pixels get a large
+    negative score and occluded ones a large positive score.
+    """
+    g0 = cv2.cvtColor(img0, cv2.COLOR_RGB2GRAY)
+    g1 = cv2.cvtColor(img1, cv2.COLOR_RGB2GRAY)
+    dis = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
+    fw = dis.calc(g0, g1, None)
+    bw = dis.calc(g1, g0, None)
+
+    H, W = g0.shape
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+    bx = cv2.remap(bw[:, :, 0], (xx + fw[:, :, 0]).astype(np.float32),
+                   (yy + fw[:, :, 1]).astype(np.float32), cv2.INTER_LINEAR)
+    by = cv2.remap(bw[:, :, 1], (xx + fw[:, :, 0]).astype(np.float32),
+                   (yy + fw[:, :, 1]).astype(np.float32), cv2.INTER_LINEAR)
+    err = np.sqrt((fw[:, :, 0] + bx) ** 2 + (fw[:, :, 1] + by) ** 2)
+    occ = np.clip(err - 1.0, -10.0, 100.0)   # consistent -> ~-10, occluded -> >0
+    flow = np.concatenate([fw, np.ones((H, W, 1), np.float32)], -1)
+    return flow.astype(np.float32), occ.astype(np.float32)
+
+
+BACKENDS = {"dis": dis_flow_backend}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seqname", required=True)
+    ap.add_argument("--datapath", default=None,
+                    help="raw frames (default: DAVIS layout of seqname)")
+    ap.add_argument("--silpath", default=None)
+    ap.add_argument("--outroot", default="database/DAVIS")
+    ap.add_argument("--flow_threshold", type=float, default=0.05)
+    ap.add_argument("--backend", default="dis", choices=list(BACKENDS))
+    args = ap.parse_args()
+
+    datapath = args.datapath or \
+        f"{args.outroot}/JPEGImages/Full-Resolution/{args.seqname}"
+    silpath = args.silpath or \
+        f"{args.outroot}/Annotations/Full-Resolution/{args.seqname}"
+    imgs = sorted(glob.glob(os.path.join(datapath, "*.jpg")))
+    sils = [os.path.join(silpath, os.path.basename(i).replace(".jpg", ".png"))
+            for i in imgs]
+    backend = BACKENDS[args.backend]
+
+    out = f"r{args.seqname}"
+    dirs = {k: f"{args.outroot}/{k}/Full-Resolution/{out}"
+            for k in ("JPEGImages", "Annotations", "FlowFW", "FlowBW")}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    inx, jnx, ix = 0, 1, 0
+    while jnx < len(imgs):
+        img0 = cv2.imread(imgs[inx])[:, :, ::-1]
+        img1 = cv2.imread(imgs[jnx])[:, :, ::-1]
+        mask0 = cv2.imread(sils[inx], 0) > 0
+        mask1 = cv2.imread(sils[jnx], 0) > 0
+
+        ys, xs = np.where(mask0)
+        length = [max((xs.max() - xs.min()) // 2, 1),
+                  max((ys.max() - ys.min()) // 2, 1)]
+        flow_fw, occ_fw = backend(img0, img1)
+        normed = np.stack([flow_fw[:, :, 0] / length[0],
+                           flow_fw[:, :, 1] / length[1]], -1)
+        medflow = np.median(np.linalg.norm(normed[mask0], axis=-1))
+        print(f"{imgs[inx]} -> {imgs[jnx]}: median flow {medflow:.3f}")
+
+        if medflow > args.flow_threshold:
+            flow_bw, occ_bw = backend(img1, img0)
+            write_pfm(f"{dirs['FlowFW']}/flo-{ix:05d}.pfm", flow_fw)
+            write_pfm(f"{dirs['FlowFW']}/occ-{ix:05d}.pfm", occ_fw)
+            write_pfm(f"{dirs['FlowBW']}/flo-{ix + 1:05d}.pfm", flow_bw)
+            write_pfm(f"{dirs['FlowBW']}/occ-{ix + 1:05d}.pfm", occ_bw)
+            cv2.imwrite(f"{dirs['JPEGImages']}/{ix:05d}.jpg", img0[:, :, ::-1])
+            cv2.imwrite(f"{dirs['JPEGImages']}/{ix + 1:05d}.jpg", img1[:, :, ::-1])
+            cv2.imwrite(f"{dirs['Annotations']}/{ix:05d}.png",
+                        mask0.astype(np.uint8) * 128)
+            cv2.imwrite(f"{dirs['Annotations']}/{ix + 1:05d}.png",
+                        mask1.astype(np.uint8) * 128)
+            inx = jnx
+            ix += 1
+        jnx += 1
+    print(f"wrote filtered sequence to {dirs['JPEGImages']} ({ix + 1} frames)")
+
+
+if __name__ == "__main__":
+    main()
