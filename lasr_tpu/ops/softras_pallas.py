@@ -62,7 +62,7 @@ _OSSUM = 4
 _OSMAX = 5
 _OUT_COLS = 8
 
-_DEFAULT_PT = 512   # pixels per tile (sublanes)
+_DEFAULT_PT = 256   # pixels per tile (sublanes; 1 image row at 256px)
 _DEFAULT_C = 128    # faces per chunk (lanes)
 
 
@@ -71,14 +71,26 @@ def _sign_clamp(x, eps):
 
 
 def build_facedata(face_vertices: jax.Array, textures: jax.Array,
-                   face_chunk: int = _DEFAULT_C) -> jax.Array:
-    """[B, F, 3, 3] verts + [B, F, 3, 3] vertex colors -> [B, _D, F'] rows.
+                   face_chunk: int = _DEFAULT_C, margin: float = 0.0):
+    """[B, F, 3, 3] verts + [B, F, 3, 3] vertex colors ->
+    (rows [B, _D, F'], chunk_bbox [B, F'//C, 4], inv_perm [B, F]).
 
+    Faces are sorted by screen-y center so each chunk covers a compact y
+    band; the kernels cull whole (pixel-tile, chunk) pairs against
+    chunk_bbox (the TPU-shaped analogue of the CUDA kernel's per-pixel
+    check_border early-exit, cuda_kernel.cu:375).  inv_perm maps original
+    face ids to sorted positions so the VJP can unsort gradients.
     F' is F padded to a multiple of `face_chunk` with far-off-screen faces.
     Pure jnp; differentiation never crosses this function (the custom VJP
     produces vertex/texture gradients directly).
     """
     B, F = face_vertices.shape[:2]
+    ycen = face_vertices[..., 1].mean(-1)                    # [B, F]
+    order = jnp.argsort(ycen, axis=1)
+    inv_perm = jnp.argsort(order, axis=1)                    # orig -> sorted
+    face_vertices = jnp.take_along_axis(
+        face_vertices, order[:, :, None, None], 1)
+    textures = jnp.take_along_axis(textures, order[:, :, None, None], 1)
     fx = face_vertices[..., 0]  # [B, F, 3]
     fy = face_vertices[..., 1]
     fz = face_vertices[..., 2]
@@ -133,7 +145,16 @@ def build_facedata(face_vertices: jax.Array, textures: jax.Array,
         padrow = padrow.at[:, _RFZ:_RFZ + 3].set(1e-9)
         padrow = padrow.at[:, _RDEN:_RDEN + 3].set(1e12)
         rows = jnp.concatenate([rows, padrow], -1)
-    return rows
+
+    Fp = rows.shape[-1]
+    nchunks = Fp // face_chunk
+    fyv = rows[:, _FY:_FY + 3].reshape(B, 3, nchunks, face_chunk)
+    fxv = rows[:, _FX:_FX + 3].reshape(B, 3, nchunks, face_chunk)
+    bbox = jnp.stack([
+        fyv.min((1, 3)) - margin, fyv.max((1, 3)) + margin,
+        fxv.min((1, 3)) - margin, fxv.max((1, 3)) + margin,
+    ], -1)                                                    # [B, nchunks, 4]
+    return rows, bbox, inv_perm
 
 
 def _pair_geometry(fd, xp, yp, sigma, threshold):
@@ -254,14 +275,23 @@ def _pixel_coords(t, PT, S):
     return xp, yp
 
 
-def _fwd_kernel(near_ref, far_ref, data_ref, out_ref, *, S, PT, C, nchunks,
-                sigma, gamma, eps, threshold, bg):
+def _tile_ybounds(t, PT, S):
+    r0 = (t * PT) // S
+    r1 = ((t + 1) * PT - 1) // S
+    ymax = (S - 1.0 - 2.0 * r0.astype(jnp.float32)) / S
+    ymin = (S - 1.0 - 2.0 * r1.astype(jnp.float32)) / S
+    return ymin, ymax
+
+
+def _fwd_kernel(near_ref, far_ref, bbox_ref, data_ref, out_ref, *, S, PT, C,
+                nchunks, sigma, gamma, eps, threshold, bg):
     t = pl.program_id(1)
     xp, yp = _pixel_coords(t, PT, S)
     b = pl.program_id(0)
     near = near_ref[b]
     far = far_ref[b]
     rzrange = 1.0 / (far - near)
+    tile_ymin, tile_ymax = _tile_ybounds(t, PT, S)
 
     logalpha0 = jnp.zeros((PT, 1), jnp.float32)
     ssum0 = jnp.full((PT, 1), math.exp(eps / gamma), jnp.float32)
@@ -269,7 +299,7 @@ def _fwd_kernel(near_ref, far_ref, data_ref, out_ref, *, S, PT, C, nchunks,
     rgb0 = [jnp.full((PT, 1), bg[k] * math.exp(eps / gamma), jnp.float32)
             for k in range(3)]
 
-    def body(i, carry):
+    def work(i, carry):
         logalpha, r0, r1, r2, ssum, smax = carry
         fd = _make_fd(data_ref, i * C, C)
         g = _pair_geometry(fd, xp, yp, sigma, threshold)
@@ -296,6 +326,11 @@ def _fwd_kernel(near_ref, far_ref, data_ref, out_ref, *, S, PT, C, nchunks,
             new_rgb.append(rk * scale + jnp.sum(wgt * col, -1, keepdims=True))
         return (logalpha, *new_rgb, ssum, new_max)
 
+    def body(i, carry):
+        overlap = ((bbox_ref[b, i, 0] <= tile_ymax)
+                   & (bbox_ref[b, i, 1] >= tile_ymin))
+        return jax.lax.cond(overlap, lambda c: work(i, c), lambda c: c, carry)
+
     logalpha, r0, r1, r2, ssum, smax = jax.lax.fori_loop(
         0, nchunks, body, (logalpha0, *rgb0, ssum0, smax0))
 
@@ -306,8 +341,8 @@ def _fwd_kernel(near_ref, far_ref, data_ref, out_ref, *, S, PT, C, nchunks,
     out_ref[0] = out
 
 
-def _bwd_kernel(near_ref, far_ref, data_ref, fwd_ref, gout_ref, grad_ref,
-                *, S, PT, C, nchunks, sigma, gamma, threshold):
+def _bwd_kernel(near_ref, far_ref, bbox_ref, data_ref, fwd_ref, gout_ref,
+                grad_ref, *, S, PT, C, nchunks, sigma, gamma, threshold):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -319,6 +354,7 @@ def _bwd_kernel(near_ref, far_ref, data_ref, fwd_ref, gout_ref, grad_ref,
     near = near_ref[b]
     far = far_ref[b]
     rzrange = 1.0 / (far - near)
+    tile_ymin, tile_ymax = _tile_ybounds(t, PT, S)
 
     g_rgb = [gout_ref[0, :, k].reshape(PT, 1) for k in range(3)]
     g_alpha = gout_ref[0, :, 3].reshape(PT, 1)
@@ -328,7 +364,7 @@ def _bwd_kernel(near_ref, far_ref, data_ref, fwd_ref, gout_ref, grad_ref,
     smax = fwd_ref[0, :, _OSMAX].reshape(PT, 1)
     rssum = 1.0 / ssum
 
-    def body(i, _):
+    def work(i):
         c0 = i * C
         fd = _make_fd(data_ref, c0, C)
         g = _pair_geometry(fd, xp, yp, sigma, threshold)
@@ -376,7 +412,15 @@ def _bwd_kernel(near_ref, far_ref, data_ref, fwd_ref, gout_ref, grad_ref,
             gy = jnp.sum(base * g["tc"][j] * g["dis_y"], axis=0, keepdims=True)
             grad_ref[0, 0 + j:1 + j, pl.ds(c0, C)] += gx
             grad_ref[0, 3 + j:4 + j, pl.ds(c0, C)] += gy
-        return _
+
+    def body(i, carry):
+        overlap = ((bbox_ref[b, i, 0] <= tile_ymax)
+                   & (bbox_ref[b, i, 1] >= tile_ymin))
+
+        @pl.when(overlap)
+        def _():
+            work(i)
+        return carry
 
     jax.lax.fori_loop(0, nchunks, body, 0)
 
@@ -387,7 +431,8 @@ def _supported(cfg: RasterizeConfig, image_size_sq_pt: bool = True) -> bool:
             and cfg.double_side)
 
 
-def _fwd_pallas(facedata, near, far, cfg: RasterizeConfig, interpret: bool):
+def _fwd_pallas(facedata, bbox, near, far, cfg: RasterizeConfig,
+                interpret: bool):
     B = facedata.shape[0]
     Fp = facedata.shape[2]
     S = cfg.image_size
@@ -405,6 +450,7 @@ def _fwd_pallas(facedata, near, far, cfg: RasterizeConfig, interpret: bool):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, _D, Fp), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -412,11 +458,11 @@ def _fwd_pallas(facedata, near, far, cfg: RasterizeConfig, interpret: bool):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, _OUT_COLS), jnp.float32),
         interpret=interpret,
-    )(near, far, facedata)
+    )(near, far, bbox, facedata)
 
 
-def _bwd_pallas(facedata, fwd_raw, gout, near, far, cfg: RasterizeConfig,
-                interpret: bool):
+def _bwd_pallas(facedata, bbox, fwd_raw, gout, near, far,
+                cfg: RasterizeConfig, interpret: bool):
     B = facedata.shape[0]
     Fp = facedata.shape[2]
     S = cfg.image_size
@@ -432,6 +478,7 @@ def _bwd_pallas(facedata, fwd_raw, gout, near, far, cfg: RasterizeConfig,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, _D, Fp), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PT, _OUT_COLS), lambda b, t: (b, t, 0),
@@ -443,7 +490,7 @@ def _bwd_pallas(facedata, fwd_raw, gout, near, far, cfg: RasterizeConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 18, Fp), jnp.float32),
         interpret=interpret,
-    )(near, far, facedata, fwd_raw, gout)
+    )(near, far, bbox, facedata, fwd_raw, gout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -459,20 +506,23 @@ def _pallas_fwd(face_vertices, textures, near, far, cfg, interpret):
     S = cfg.image_size
     near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), (B,))
     far = jnp.broadcast_to(jnp.asarray(far, jnp.float32), (B,))
-    facedata = build_facedata(face_vertices.astype(jnp.float32),
-                              textures.astype(jnp.float32))
-    fwd_raw = _fwd_pallas(facedata, near, far, cfg, interpret)
+    facedata, bbox, inv_perm = build_facedata(
+        face_vertices.astype(jnp.float32), textures.astype(jnp.float32),
+        margin=math.sqrt(cfg.dist_threshold))
+    fwd_raw = _fwd_pallas(facedata, bbox, near, far, cfg, interpret)
     out = fwd_raw[..., :4].reshape(B, S, S, 4).transpose(0, 3, 1, 2)
-    return out, (facedata, fwd_raw, near, far, F)
+    return out, (facedata, bbox, inv_perm, fwd_raw, near, far, F)
 
 
 def _pallas_bwd(cfg, interpret, res, g):
-    facedata, fwd_raw, near, far, F = res
+    facedata, bbox, inv_perm, fwd_raw, near, far, F = res
     B = facedata.shape[0]
     P = cfg.image_size ** 2
     gout = g.transpose(0, 2, 3, 1).reshape(B, P, 4).astype(jnp.float32)
-    grads = _bwd_pallas(facedata, fwd_raw, gout, near, far, cfg, interpret)
-    grads = grads[..., :F]                       # drop padding faces
+    grads = _bwd_pallas(facedata, bbox, fwd_raw, gout, near, far, cfg,
+                        interpret)
+    # unsort back to the caller's face order, dropping padding faces
+    grads = jnp.take_along_axis(grads, inv_perm[:, None, :].repeat(18, 1), -1)
     gx = grads[:, 0:3].transpose(0, 2, 1)        # [B, F, 3]
     gy = grads[:, 3:6].transpose(0, 2, 1)
     gz = grads[:, 6:9].transpose(0, 2, 1)
