@@ -42,3 +42,25 @@ def shard_step(step_fn, mesh: Mesh):
 def put_sharded_ids(ids: np.ndarray, mesh: Mesh):
     import jax.numpy as jnp
     return jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data")))
+
+
+def put_sharded_schedule(ids: np.ndarray, mesh: Mesh):
+    """[steps, ndev*b] epoch schedule, sharded over the batch axis."""
+    import jax.numpy as jnp
+    return jax.device_put(jnp.asarray(ids),
+                          NamedSharding(mesh, P(None, "data")))
+
+
+def shard_epoch_scan(scan_fn, mesh: Mesh):
+    """jit the scanned-epoch step: params/opt replicated, schedule sharded
+    over `data` on its batch axis.
+
+    scan_fn(params, opt_state, dev_arrays, ids_all, key, epoch)."""
+    repl = NamedSharding(mesh, P())
+    sched = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        scan_fn,
+        in_shardings=(repl, repl, repl, sched, repl, repl),
+        out_shardings=None,
+        donate_argnums=(0, 1),
+    )

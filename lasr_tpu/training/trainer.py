@@ -100,6 +100,9 @@ class Trainer:
         self.params = self.model.init_params
         if patch is not None:
             self.params = ckpt.apply_patch(self.params, patch)
+        # private buffers: the scanned epoch donates params/opt_state, which
+        # would invalidate model.init_params if they aliased
+        self.params = jax.tree.map(lambda x: jnp.array(x), self.params)
 
         steps_per_epoch = len(self.dataset.epoch_schedule(
             np.random.RandomState(0), cfg.batch_size, cfg.ngpu))
@@ -150,6 +153,42 @@ class Trainer:
             self.update_step = jax.jit(update_step)
         self._raw_step = update_step
 
+        def epoch_scan(params, opt_state, dev_arrays, ids_all, key, epoch):
+            """One XLA program per epoch: lax.scan over the step schedule.
+            Collapses per-step host dispatch (expensive on a tunneled TPU)
+            and lets XLA keep params/optimizer state resident via donation."""
+            n_steps = ids_all.shape[0]
+
+            def step(carry, inp):
+                params, opt_state = carry
+                ids, i = inp
+                rng = jax.random.fold_in(key, i)
+                batch = gather_batch(dev_arrays, ids)
+                (loss, aux), grads = jax.value_and_grad(
+                    model.loss_fn, has_aux=True)(params, batch, rng, epoch, i)
+                grads, gv, gc, finite = clip_and_guard(grads)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                scal = {k: aux[k] for k in
+                        ("total_loss", "mask_loss", "flow_rd_loss",
+                         "texture_loss", "triangle_loss", "cam_loss")
+                        if k in aux}
+                scal["grads_finite"] = finite.astype(jnp.float32)
+                nscore = jnp.where(i > 100, aux["current_nscore"], 0.0)
+                return (params, opt_state), (scal, nscore)
+
+            # step 0 runs outside the scan (it logs image panels)
+            iters = jnp.arange(n_steps) + 1
+            (params, opt_state), (scals, nscores) = jax.lax.scan(
+                step, (params, opt_state), (ids_all, iters))
+            return params, opt_state, scals, nscores.sum(0)
+
+        if self.cfg.ngpu > 1:
+            from ..parallel import shard_epoch_scan
+            self.epoch_scan = shard_epoch_scan(epoch_scan, self.mesh)
+        else:
+            self.epoch_scan = jax.jit(epoch_scan, donate_argnums=(0, 1))
+
     # ------------------------------------------------------------------
     def reinit_bones(self):
         """Epoch-0 k-means bone placement (ref:nnutils/train_utils.py:243-251);
@@ -185,36 +224,50 @@ class Trainer:
             self.epoch_nscore[:] = 0
             sched = self.dataset.epoch_schedule(rng_np, cfg.batch_size, cfg.ngpu)
             t0 = time.time()
-            nscore_acc = None
-            for i, ids in enumerate(sched):
-                key, sub = jax.random.split(key)
-                if self.mesh is not None:
-                    from ..parallel import put_sharded_ids
-                    dev_ids = put_sharded_ids(ids, self.mesh)
-                else:
-                    dev_ids = jnp.asarray(ids)
-                self.params, self.opt_state, scalars, nscore, images = \
-                    self.update_step(self.params, self.opt_state,
-                                     self.dev_arrays, dev_ids, sub,
-                                     jnp.asarray(epoch), jnp.asarray(i))
-                if i > 100:
-                    nscore_acc = nscore if nscore_acc is None else nscore_acc + nscore
-                if writer is not None and i % 20 == 0:
-                    for k, v in scalars.items():
-                        writer.add_scalar(f"train/{k}", float(v),
-                                          total_steps + i)
-                if i == 0 and writer is not None:
-                    self._log_images(writer, images, ids, optim_idx, epoch)
-                if i == 0 and log_images_fn is not None:
-                    log_images_fn(epoch, images, ids)
-            if nscore_acc is not None:
-                self.epoch_nscore += np.asarray(nscore_acc)
+            key, epoch_key = jax.random.split(key)
+
+            # step 0 eagerly: it logs image panels (ref logs at i==0)
+            if self.mesh is not None:
+                from ..parallel import put_sharded_ids
+                ids0 = put_sharded_ids(sched[0], self.mesh)
+            else:
+                ids0 = jnp.asarray(sched[0])
+            self.params, self.opt_state, scalars0, _, images = \
+                self.update_step(self.params, self.opt_state, self.dev_arrays,
+                                 ids0, jax.random.fold_in(epoch_key, 0),
+                                 jnp.asarray(epoch), jnp.asarray(0))
+            if writer is not None:
+                self._log_images(writer, images, sched[0], optim_idx, epoch)
+            if log_images_fn is not None:
+                log_images_fn(epoch, images, sched[0])
+
+            # remaining steps in one scanned XLA call
+            ids_rest = sched[1:]
+            if self.mesh is not None:
+                from ..parallel import put_sharded_schedule
+                ids_rest = put_sharded_schedule(ids_rest, self.mesh)
+            else:
+                ids_rest = jnp.asarray(ids_rest)
+            self.params, self.opt_state, scals, nscore_sum = self.epoch_scan(
+                self.params, self.opt_state, self.dev_arrays, ids_rest,
+                epoch_key, jnp.asarray(epoch))
+            self.epoch_nscore += np.asarray(nscore_sum)
+
+            scals = jax.tree.map(np.asarray, scals)
+            if writer is not None:
+                for k, v in scals.items():
+                    for j in range(0, len(v), 20):
+                        writer.add_scalar(f"train/{k}", float(v[j]),
+                                          total_steps + 1 + j)
             total_steps += len(sched)
             if verbose:
                 dt = time.time() - t0
                 print(f"  epoch {epoch}: {len(sched)} steps in {dt:.1f}s "
                       f"({dt / len(sched) * 1e3:.0f} ms/step), "
-                      f"loss {float(scalars['total_loss']):.4f}")
+                      f"loss {float(scals['total_loss'][-1]):.4f}")
+            scalars = {"total_loss": scals["total_loss"][-1]}
+            if not bool(scals["grads_finite"].all()):
+                print("  warning: non-finite gradients were zeroed this epoch")
             if (epoch + 1) % cfg.save_epoch_freq == 0:
                 self.save("latest")
                 self.save(str(epoch + 1))
