@@ -55,6 +55,8 @@ flags.DEFINE_float("l1tex_wt", 1.0, "weight of L1 texture loss")
 flags.DEFINE_float("sigval", 1e-4, "rasterizer blur sigma")
 flags.DEFINE_integer("seed", 0, "rng seed")
 flags.DEFINE_integer("local_rank", 0, "ignored (single-process SPMD)")
+flags.DEFINE_string("profile_dir", "", "capture a jax.profiler trace of the "
+                    "first epoch into this directory")
 
 FLAGS = flags.FLAGS
 
@@ -94,7 +96,17 @@ def config_from_flags() -> LasrConfig:
 def main(_):
     cfg = config_from_flags()
     trainer = Trainer(cfg)
-    trainer.train()
+    if FLAGS.profile_dir:
+        from lasr_tpu.utils.profiling import trace
+        epochs = cfg.num_epochs
+        cfg.num_epochs = 1
+        with trace(FLAGS.profile_dir):
+            trainer.train()
+        cfg.num_epochs = epochs - 1
+        if cfg.num_epochs > 0:
+            trainer.train()
+    else:
+        trainer.train()
 
 
 if __name__ == "__main__":
