@@ -89,22 +89,17 @@ class MeshPredictor:
             self.model = LasrModel(cfg, mean_shape=mean_shape, faces=faces)
         self.params = ckpt.apply_patch(self.model.init_params, patch)
         self.faces = self.model.faces
+        self._core = jax.jit(self._predict_core)
+        self._raster = {}
 
     # ------------------------------------------------------------------
-    def predict(self, img: np.ndarray, alp: float, pp: np.ndarray):
-        """img [3, S, S] in [0,1] -> dict of outputs (ref:predictor.py:183-353)."""
+    def _predict_core(self, params, inp, cam_fl):
+        """Jitted geometry path: codes -> camera-frame meshes + bone geometry."""
         cfg = self.cfg
-        model, params = self.model, self.params
+        model = self.model
         K = cfg.n_bones
-        from ..data.video import IMAGENET_MEAN, IMAGENET_STD
-        inp = ((img.transpose(1, 2, 0) - IMAGENET_MEAN) / IMAGENET_STD
-               ).transpose(2, 0, 1)[None]
-        codes = model.predict_codes(params, jnp.asarray(inp))
-
-        cam_fl = 1.0 / alp
+        codes = model.predict_codes(params, inp)
         scale = codes["scale"][:, 0] * cam_fl                 # [1]
-        uncrop_scale = float(codes["scale"][0, 0]) * 128.0
-        uncrop_pp = (np.asarray(codes["ppoint"][0]) + 1) * 128.0 * alp + pp
         depth = codes["depth"].at[:, 0].mul(cam_fl)           # [1, K]
         trans = codes["trans"]                                # [1, K, 2]
         ppoint = codes["ppoint"]                              # [1, 2]
@@ -140,48 +135,71 @@ class MeshPredictor:
         verts_vp2 = to_cam(rot_right)
         verts_vp3 = to_cam(rot_top)
 
-        outputs = {
-            "verts": np.asarray(verts[0]),
-            "verts_vp2": np.asarray(verts_vp2[0]),
-            "verts_vp3": np.asarray(verts_vp3[0]),
-            "tex": np.asarray(tex_rgb[0]),
-            "cam_pred": np.concatenate([
-                np.asarray(scale)[None],
-                np.asarray(trans[0, 0])[None].reshape(1, -1),
-                np.asarray(quat_ops.rotmat_to_quat_wxyz(M[0, 0]))[None]], -1),
-            "uncrop_scale": uncrop_scale,
-            "uncrop_pp": uncrop_pp,
-            "depth": float(depth[0, 0]),
-            "ppoint": np.asarray(ppoint[0]),
+        core = {
+            "verts": verts[0], "verts_vp2": verts_vp2[0],
+            "verts_vp3": verts_vp3[0], "tex": tex_rgb[0],
+            "scale": scale, "trans": trans, "ppoint": ppoint[0],
+            "depth": depth, "quat": quat_ops.rotmat_to_quat_wxyz(M[0, 0]),
+            "raw_scale": codes["scale"][0, 0], "raw_pp": codes["ppoint"][0],
         }
-
-        # viewpoint renders (front / right / top) with Lambertian shading
-        renders = []
-        for v in (verts, verts_vp2, verts_vp3):
-            renders.append(self._shaded_render(
-                np.asarray(v[0]), np.asarray(tex_rgb[0]),
-                np.asarray(ppoint[0]), float(scale[0])))
-        outputs["texture_render"], outputs["texture_vp2"], \
-            outputs["texture_vp3"] = renders
-        outputs["mask_pred"] = renders[0][3]
-
         if K > 1:
             joints_cam = geometry.rigid_transform(
                 (jnp.einsum("bkij,bkj->bki", sg(part_rot),
                             params["ctl_ts"][:1], precision="highest")
                  + sg(part_trans)), body_rot, body_trans)
-            outputs["bones_3d"] = np.asarray(joints_cam[0])
-            jp = geometry.pinhole_project(joints_cam, ppoint, scale)
-            outputs["joints"] = np.asarray(jp[0])
-            outputs["skin"] = np.asarray(skin[0])
-            # gaussian ellipsoids
+            core["bones_3d"] = joints_cam[0]
+            core["joints"] = geometry.pinhole_project(
+                joints_cam, ppoint, scale)[0]
+            core["skin"] = skin[0]
+            core["ctl_rot"] = ctl_rot[0]
+        return core
+
+    # ------------------------------------------------------------------
+    def predict(self, img: np.ndarray, alp: float, pp: np.ndarray):
+        """img [3, S, S] in [0,1] -> dict of outputs (ref:predictor.py:183-353).
+        The geometry path runs as one jitted call; rendering and mesh export
+        happen host-side."""
+        cfg = self.cfg
+        params, K = self.params, cfg.n_bones
+        from ..data.video import IMAGENET_MEAN, IMAGENET_STD
+        inp = ((img.transpose(1, 2, 0) - IMAGENET_MEAN) / IMAGENET_STD
+               ).transpose(2, 0, 1)[None]
+        core = jax.tree.map(np.asarray, self._core(
+            params, jnp.asarray(inp), jnp.asarray(1.0 / alp)))
+
+        outputs = {
+            "verts": core["verts"], "verts_vp2": core["verts_vp2"],
+            "verts_vp3": core["verts_vp3"], "tex": core["tex"],
+            "cam_pred": np.concatenate(
+                [core["scale"][None],
+                 core["trans"][0, 0][None].reshape(1, -1),
+                 core["quat"][None].reshape(1, -1)], -1),
+            "uncrop_scale": float(core["raw_scale"]) * 128.0,
+            "uncrop_pp": (core["raw_pp"] + 1) * 128.0 * alp + pp,
+            "depth": float(core["depth"][0, 0]),
+            "ppoint": core["ppoint"],
+        }
+
+        renders = []
+        for key in ("verts", "verts_vp2", "verts_vp3"):
+            renders.append(self._shaded_render(
+                core[key], core["tex"], core["ppoint"],
+                float(core["scale"][0])))
+        outputs["texture_render"], outputs["texture_vp2"], \
+            outputs["texture_vp3"] = renders
+        outputs["mask_pred"] = renders[0][3]
+
+        if K > 1:
+            outputs["bones_3d"] = core["bones_3d"]
+            outputs["joints"] = core["joints"]
+            outputs["skin"] = core["skin"]
             sp_v, sp_f = _uv_sphere()
             gauss_v, gauss_f = [], []
-            ctl_rot_np = np.asarray(ctl_rot[0])
             for i in range(K - 1):
                 sv = sp_v / np.exp(0.5 * np.clip(
                     np.asarray(params["log_ctl"][0, i]), -2, 2))
-                sv = sv @ ctl_rot_np[i].T + np.asarray(params["ctl_ts"][0, i])
+                sv = sv @ core["ctl_rot"][i].T + np.asarray(
+                    params["ctl_ts"][0, i])
                 gauss_f.append(sp_f + i * len(sp_v))
                 gauss_v.append(sv)
             outputs["gauss_verts"] = np.concatenate(gauss_v)
@@ -198,7 +216,7 @@ class MeshPredictor:
         proj = geometry.pinhole_project(jnp.asarray(verts_cam)[None],
                                         jnp.asarray(pp)[None],
                                         jnp.asarray([fl]))
-        geom = np.asarray(proj[0])
+        geom = np.array(proj[0])  # writable copy
         geom[:, 1] *= -1
         # vertex normals for shading
         fv = verts_cam[self.faces]
@@ -217,7 +235,12 @@ class MeshPredictor:
         fvg = geom[self.faces][None]
         ftg = colors[self.faces][None]
         z = verts_cam[:, 2]
-        out = np.asarray(soft_rasterize(
-            jnp.asarray(fvg), jnp.asarray(ftg), cfg,
-            float(z.min() - 1), float(z.max() + 1), force_ref=True))
+        key = (cfg, fvg.shape)
+        if key not in self._raster:
+            self._raster[key] = jax.jit(
+                lambda fv, ft, n, f: soft_rasterize(fv, ft, cfg, n, f,
+                                                    force_ref=True))
+        out = np.asarray(self._raster[key](
+            jnp.asarray(fvg), jnp.asarray(ftg),
+            jnp.asarray(z.min() - 1), jnp.asarray(z.max() + 1)))
         return out[0]

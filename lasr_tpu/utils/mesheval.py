@@ -32,13 +32,10 @@ def sample_points(verts: np.ndarray, faces: np.ndarray, n: int,
     return pts.astype(np.float32), nrm.astype(np.float32)
 
 
-def _nearest(a: np.ndarray, b: np.ndarray, chunk: int = 2048):
-    """For each point in a, index of nearest point in b."""
-    idx = np.empty(len(a), np.int64)
-    for s in range(0, len(a), chunk):
-        d = ((a[s:s + chunk, None] - b[None]) ** 2).sum(-1)
-        idx[s:s + chunk] = d.argmin(-1)
-    return idx
+def _nearest(a: np.ndarray, b: np.ndarray):
+    """For each point in a, index of nearest point in b (KD-tree)."""
+    from scipy.spatial import cKDTree
+    return cKDTree(b).query(a, workers=-1)[1]
 
 
 def icp_align(x: np.ndarray, y: np.ndarray, iters: int = 100,
