@@ -131,11 +131,20 @@ class CodePredictor(nn.Module):
 
 def create_nets(key: jax.Array, img_size: int, nz_feat: int, n_bones: int,
                 n_hypo: int):
-    """Initialize encoder + predictor; returns (modules, params)."""
+    """Initialize encoder + predictor; returns (modules, params).
+
+    init is jitted: eager initialization dispatches hundreds of tiny ops,
+    which is pathologically slow on a tunneled TPU backend; one compiled
+    (persistently cached) program runs in milliseconds."""
     enc = Encoder(nz_feat=nz_feat)
     pred = CodePredictor(n_bones=n_bones, n_hypo=n_hypo)
-    k1, k2 = jax.random.split(key)
-    dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
-    enc_params = enc.init(k1, dummy)
-    pred_params = pred.init(k2, jnp.zeros((1, nz_feat), jnp.float32))
-    return (enc, pred), {"encoder": enc_params, "code_predictor": pred_params}
+
+    @jax.jit
+    def _init(key):
+        k1, k2 = jax.random.split(key)
+        dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+        return {"encoder": enc.init(k1, dummy),
+                "code_predictor": pred.init(
+                    k2, jnp.zeros((1, nz_feat), jnp.float32))}
+
+    return (enc, pred), _init(key)

@@ -57,7 +57,8 @@ class PerceptualLoss:
         self.net = AlexNetFeatures()
         if key is None:
             key = jax.random.PRNGKey(1234)
-        self.params = self.net.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        self.params = jax.jit(lambda k: self.net.init(
+            k, jnp.zeros((1, 64, 64, 3), jnp.float32)))(key)
 
     def __call__(self, img0: jax.Array, img1: jax.Array) -> jax.Array:
         """img0/img1 [B, 3, H, W] in [-1, 1] -> [B] distances."""
