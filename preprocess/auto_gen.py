@@ -7,11 +7,11 @@ object-region flow (normalized by the silhouette extent) is below
 --flow_threshold, and writes the filtered r<seq> dataset: renumbered
 JPEGImages/Annotations plus FlowFW/FlowBW flo-/occ- PFMs.
 
-Flow backend: the reference runs the pretrained VCN-robust network
-(ref:third_party/ext_nnutils/VCNplus.py) whose weights are not distributable
-with this repo; the default backend here is OpenCV DIS optical flow with
-forward-backward-consistency occlusion scores.  Any backend producing
-(flow [H, W, 3], occ [H, W]) can be plugged via --backend.
+Flow backends: `--backend vcn --loadmodel lasr_vcn/vcn_rob.pth` runs the
+reference's pretrained VCN-robust network (ref:third_party/ext_nnutils/
+VCNplus.py) through the JAX/TPU port in lasr_tpu.models.vcn; since those
+weights are not distributable with this repo, the default backend is OpenCV
+DIS optical flow with forward-backward-consistency occlusion scores.
 
 Usage:
   python preprocess/auto_gen.py --seqname camel --datapath \
@@ -59,7 +59,20 @@ def dis_flow_backend(img0: np.ndarray, img1: np.ndarray):
     return flow.astype(np.float32), occ.astype(np.float32)
 
 
-BACKENDS = {"dis": dis_flow_backend}
+def vcn_flow_backend(loadmodel: str, testres: float = 1.0):
+    """TPU-resident VCN-robust flow (the reference's backend,
+    ref:preprocess/auto_gen.py:59-66): loads the published vcn_rob.pth
+    through the torch->JAX converter and runs lasr_tpu.models.vcn."""
+    from lasr_tpu.models.vcn import load_vcn, flow_inference
+    params, mean_L, mean_R = load_vcn(loadmodel)
+
+    def backend(img0, img1):
+        return flow_inference(params, img0, img1, mean_L, mean_R,
+                              testres=testres)
+    return backend
+
+
+BACKENDS = ("dis", "vcn")
 
 
 def main():
@@ -71,6 +84,9 @@ def main():
     ap.add_argument("--outroot", default="database/DAVIS")
     ap.add_argument("--flow_threshold", type=float, default=0.05)
     ap.add_argument("--backend", default="dis", choices=list(BACKENDS))
+    ap.add_argument("--loadmodel", default=None,
+                    help="vcn_rob.pth checkpoint for --backend vcn")
+    ap.add_argument("--testres", type=float, default=1.0)
     args = ap.parse_args()
 
     datapath = args.datapath or \
@@ -78,9 +94,18 @@ def main():
     silpath = args.silpath or \
         f"{args.outroot}/Annotations/Full-Resolution/{args.seqname}"
     imgs = sorted(glob.glob(os.path.join(datapath, "*.jpg")))
+    if len(imgs) < 2:
+        ap.error(f"need >= 2 frames, found {len(imgs)} in {datapath} "
+                 "(pass --datapath explicitly when --outroot is not the "
+                 "input root)")
     sils = [os.path.join(silpath, os.path.basename(i).replace(".jpg", ".png"))
             for i in imgs]
-    backend = BACKENDS[args.backend]
+    if args.backend == "vcn":
+        if args.loadmodel is None:
+            ap.error("--backend vcn requires --loadmodel vcn_rob.pth")
+        backend = vcn_flow_backend(args.loadmodel, args.testres)
+    else:
+        backend = dis_flow_backend
 
     out = f"r{args.seqname}"
     dirs = {k: f"{args.outroot}/{k}/Full-Resolution/{out}"
