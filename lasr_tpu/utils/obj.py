@@ -99,9 +99,112 @@ def bake_face_textures(uv: np.ndarray, face_uv_idx: np.ndarray,
     return _bilinear(tex_img, pts[..., 0], pts[..., 1]).astype(np.float32)
 
 
-def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
-    with open(path, "w") as f:
+def create_texture_image(textures: np.ndarray, texture_res: int = 16):
+    """Pack per-face texel colors [F, R*R, 3] into a square-tiled texture
+    atlas; returns (image [th*res, tw*res, 3] flipped for OBJ v-up, uv
+    [F, 3, 2] in [0,1]).
+
+    Vectorized port of the reference CUDA atlas writer
+    (ref:third_party/softras/soft_renderer/cuda/
+    create_texture_image_cuda_kernel.cu:20-69, wrapper
+    functional/save_obj.py:9-36): per atlas pixel, barycentric coords
+    w.r.t. the face's tile triangle select the source texel, mirrored for
+    the upper sub-triangle."""
+    eps = 1e-5
+    F = textures.shape[0]
+    R = int(round(np.sqrt(textures.shape[1])))
+    res = texture_res
+    tile_w = int((F - 1.0) ** 0.5) + 1
+    tile_h = int((F - 1.0) / tile_w) + 1
+
+    col = np.arange(F) % tile_w
+    row = np.arange(F) // tile_w
+    uvs = np.zeros((F, 3, 2), np.float32)
+    uvs[:, 0, 0] = col * res + res / 2.0
+    uvs[:, 0, 1] = row * res + 1
+    uvs[:, 1, 0] = col * res + 1
+    uvs[:, 1, 1] = (row + 1) * res - 2
+    uvs[:, 2, 0] = (col + 1) * res - 2
+    uvs[:, 2, 1] = (row + 1) * res - 2
+
+    H, W = tile_h * res, tile_w * res
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    fn = xs // res + (ys // res) * tile_w                 # kernel:26
+    valid = fn < F
+    fnc = np.minimum(fn, F - 1)
+
+    p0, p1, p2 = uvs[fnc, 0], uvs[fnc, 1], uvs[fnc, 2]    # [H,W,2]
+    face_inv = np.stack([
+        p1[..., 1] - p2[..., 1], p2[..., 0] - p1[..., 0],
+        p1[..., 0] * p2[..., 1] - p2[..., 0] * p1[..., 1],
+        p2[..., 1] - p0[..., 1], p0[..., 0] - p2[..., 0],
+        p2[..., 0] * p0[..., 1] - p0[..., 0] * p2[..., 1],
+        p0[..., 1] - p1[..., 1], p1[..., 0] - p0[..., 0],
+        p0[..., 0] * p1[..., 1] - p1[..., 0] * p0[..., 1]], -1)
+    denom = (p2[..., 0] * (p0[..., 1] - p1[..., 1])
+             + p0[..., 0] * (p1[..., 1] - p2[..., 1])
+             + p1[..., 0] * (p2[..., 1] - p0[..., 1]))
+    face_inv = face_inv / (denom + eps)[..., None]
+
+    w = np.stack([face_inv[..., 3 * k] * xs + face_inv[..., 3 * k + 1] * ys
+                  + face_inv[..., 3 * k + 2] for k in range(3)], -1)
+    w = np.clip(w, 0.0, 1.0)
+    w = w / (w.sum(-1, keepdims=True) + eps)
+
+    wx = (w[..., 0] * R).astype(np.int32)
+    wy = (w[..., 1] * R).astype(np.int32)
+    lower = (w[..., 0] + w[..., 1]) * R - wx - wy <= 1    # kernel:63
+    ti = np.where(lower, wy * R + wx,
+                  (R - 1 - np.clip(wy, 0, R - 1)) * R
+                  + (R - 1 - np.clip(wx, 0, R - 1)))
+    ti = np.clip(ti, 0, R * R - 1)
+    image = np.ones((H, W, 3), np.float32)
+    image[valid] = textures[fnc, ti][valid]
+
+    uvs[..., 0] /= W - 1
+    uvs[..., 1] /= H - 1
+    return image[::-1].copy(), uvs
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray,
+             textures: np.ndarray | None = None,
+             texture_res: int = 16, texture_type: str = "surface") -> None:
+    """OBJ writer (ref:functional/save_obj.py:39-100 parity): plain
+    geometry, per-vertex colors (`texture_type='vertex'`, textures [V,3]),
+    or a surface-texture atlas + .mtl/.png (textures [F, R*R, 3])."""
+    base = os.path.basename(path)
+    lines = [f"# {base}\n#\n\n"]
+    if textures is not None and texture_type == "surface":
+        mtl_path = path[:-4] + ".mtl"
+        png_path = path[:-4] + ".png"
+        image, uvs = create_texture_image(np.asarray(textures), texture_res)
+        import cv2
+        cv2.imwrite(png_path,
+                    (np.clip(image, 0, 1) * 255).astype(np.uint8)[:, :, ::-1])
+        with open(mtl_path, "w") as f:
+            f.write("newmtl material_1\nmap_Kd %s\n" % os.path.basename(png_path))
+        lines.append("mtllib %s\n\n" % os.path.basename(mtl_path))
+
+    if textures is not None and texture_type == "vertex":
+        for v, c in zip(verts, textures):
+            lines.append("v %.8f %.8f %.8f %.8f %.8f %.8f\n"
+                         % (v[0], v[1], v[2], c[0], c[1], c[2]))
+        lines.append("\n")
+    else:
         for v in verts:
-            f.write(f"v {v[0]:f} {v[1]:f} {v[2]:f}\n")
+            lines.append("v %.8f %.8f %.8f\n" % (v[0], v[1], v[2]))
+        lines.append("\n")
+
+    if textures is not None and texture_type == "surface":
+        for uv in uvs.reshape(-1, 2):
+            lines.append("vt %.8f %.8f\n" % (uv[0], uv[1]))
+        lines.append("\nusemtl material_1\n")
+        for i, fc in enumerate(faces):
+            lines.append("f %d/%d %d/%d %d/%d\n"
+                         % (fc[0] + 1, 3 * i + 1, fc[1] + 1, 3 * i + 2,
+                            fc[2] + 1, 3 * i + 3))
+    else:
         for fc in faces:
-            f.write(f"f {fc[0] + 1:d} {fc[1] + 1:d} {fc[2] + 1:d}\n")
+            lines.append("f %d %d %d\n" % (fc[0] + 1, fc[1] + 1, fc[2] + 1))
+    with open(path, "w") as f:
+        f.writelines(lines)
