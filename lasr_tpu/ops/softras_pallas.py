@@ -50,17 +50,23 @@ _RDEN = 27       # 27-29 1 / (a0_k[v0] - a0_k[v1])
 _A0V1 = 30       # 30-32 a0_k[v1]
 _RFZ = 33        # 33-35 1 / vertex z
 _OBT = 36        # 36-38 obtuse-corner flags
-_TEX = 39        # 39-47 vertex colors (vertex major: t0r t0g t0b t1r ...)
-_D = 48          # padded row count
+_TEX = 39        # 39-(39+3K-1) vertex colors (vertex major: row
+#                  _TEX + K*j + k for vertex j, channel k); K = texture
+#                  channels (3 for plain RGB; the merged model render uses 9)
+
+
+def _drows(K: int) -> int:
+    return _TEX + 3 * K
+
 
 _EDGE = ((0, 1, 2), (1, 2, 0), (2, 0, 1))  # (v0, v1, v2) per edge k
 
-# fwd_raw column indices ([B, P, 8] layout)
-_ORGB = 0   # 0-2 rgb numerator/out
-_OALPHA = 3
-_OSSUM = 4
-_OSMAX = 5
-_OUT_COLS = 8
+# fwd_raw column layout ([B, P, OUT] with OUT = _out_cols(K)):
+# 0..K-1 rgb out, K alpha, K+1 softmax_sum, K+2 softmax_max, rest zero pad.
+
+
+def _out_cols(K: int) -> int:
+    return max(8, -(-(K + 3) // 8) * 8)
 
 _DEFAULT_PT = 256   # pixels per tile (sublanes; 1 image row at 256px)
 _DEFAULT_C = 128    # faces per chunk (lanes)
@@ -85,6 +91,7 @@ def build_facedata(face_vertices: jax.Array, textures: jax.Array,
     produces vertex/texture gradients directly).
     """
     B, F = face_vertices.shape[:2]
+    K = textures.shape[-1]
     ycen = face_vertices[..., 1].mean(-1)                    # [B, F]
     order = jnp.argsort(ycen, axis=1)
     inv_perm = jnp.argsort(order, axis=1)                    # orig -> sorted
@@ -122,7 +129,7 @@ def build_facedata(face_vertices: jax.Array, textures: jax.Array,
            ((0, 1, 2), (1, 2, 0), (2, 0, 1))]
 
     rfz = 1.0 / _sign_clamp(fz, 1e-8)
-    tex = textures.reshape(B, F, 9)
+    tex = textures.reshape(B, F, 3 * K)
 
     rows = jnp.concatenate([
         fx, fy, fz, inv,
@@ -132,13 +139,13 @@ def build_facedata(face_vertices: jax.Array, textures: jax.Array,
         rfz,
         jnp.stack(obt, -1),
         tex,
-    ], -1)                                        # [B, F, 48]
-    assert rows.shape[-1] == _D
-    rows = rows.transpose(0, 2, 1)                # [B, _D, F]
+    ], -1)                                        # [B, F, 39+3K]
+    assert rows.shape[-1] == _drows(K)
+    rows = rows.transpose(0, 2, 1)                # [B, D, F]
 
     pad = (-F) % face_chunk
     if pad:
-        padrow = jnp.zeros((B, _D, pad), rows.dtype)
+        padrow = jnp.zeros((B, _drows(K), pad), rows.dtype)
         # off-screen: xy=1e5 so every pixel is beyond the distance threshold;
         # rfz tiny so zp is huge and z-culled.
         padrow = padrow.at[:, _FX:_FX + 6].set(1e5)
@@ -284,7 +291,7 @@ def _tile_ybounds(t, PT, S):
 
 
 def _fwd_kernel(near_ref, far_ref, bbox_ref, data_ref, out_ref, *, S, PT, C,
-                nchunks, sigma, gamma, eps, threshold, bg):
+                nchunks, K, sigma, gamma, eps, threshold, bg):
     t = pl.program_id(1)
     xp, yp = _pixel_coords(t, PT, S)
     b = pl.program_id(0)
@@ -297,10 +304,11 @@ def _fwd_kernel(near_ref, far_ref, bbox_ref, data_ref, out_ref, *, S, PT, C,
     ssum0 = jnp.full((PT, 1), math.exp(eps / gamma), jnp.float32)
     smax0 = jnp.full((PT, 1), eps, jnp.float32)
     rgb0 = [jnp.full((PT, 1), bg[k] * math.exp(eps / gamma), jnp.float32)
-            for k in range(3)]
+            for k in range(K)]
 
     def work(i, carry):
-        logalpha, r0, r1, r2, ssum, smax = carry
+        logalpha, ssum, smax = carry[0], carry[-2], carry[-1]
+        rgb = carry[1:-2]
         fd = _make_fd(data_ref, i * C, C)
         g = _pair_geometry(fd, xp, yp, sigma, threshold)
 
@@ -320,9 +328,9 @@ def _fwd_kernel(near_ref, far_ref, bbox_ref, data_ref, out_ref, *, S, PT, C,
 
         wc0, wc1, wc2 = g["wc"]
         new_rgb = []
-        for k, rk in enumerate((r0, r1, r2)):
-            col = (wc0 * fd(_TEX + k) + wc1 * fd(_TEX + 3 + k)
-                   + wc2 * fd(_TEX + 6 + k))
+        for k, rk in enumerate(rgb):
+            col = (wc0 * fd(_TEX + k) + wc1 * fd(_TEX + K + k)
+                   + wc2 * fd(_TEX + 2 * K + k))
             new_rgb.append(rk * scale + jnp.sum(wgt * col, -1, keepdims=True))
         return (logalpha, *new_rgb, ssum, new_max)
 
@@ -331,18 +339,21 @@ def _fwd_kernel(near_ref, far_ref, bbox_ref, data_ref, out_ref, *, S, PT, C,
                    & (bbox_ref[b, i, 1] >= tile_ymin))
         return jax.lax.cond(overlap, lambda c: work(i, c), lambda c: c, carry)
 
-    logalpha, r0, r1, r2, ssum, smax = jax.lax.fori_loop(
+    carry = jax.lax.fori_loop(
         0, nchunks, body, (logalpha0, *rgb0, ssum0, smax0))
+    logalpha, ssum, smax = carry[0], carry[-2], carry[-1]
+    rgb = carry[1:-2]
 
+    OUT = _out_cols(K)
     rsum = 1.0 / ssum
     out = jnp.concatenate(
-        [r0 * rsum, r1 * rsum, r2 * rsum, 1.0 - jnp.exp(logalpha),
-         ssum, smax, jnp.zeros((PT, _OUT_COLS - 6), jnp.float32)], -1)
+        [*(r * rsum for r in rgb), 1.0 - jnp.exp(logalpha),
+         ssum, smax, jnp.zeros((PT, OUT - (K + 3)), jnp.float32)], -1)
     out_ref[0] = out
 
 
 def _bwd_kernel(near_ref, far_ref, bbox_ref, data_ref, fwd_ref, gout_ref,
-                grad_ref, *, S, PT, C, nchunks, sigma, gamma, threshold):
+                grad_ref, *, S, PT, C, nchunks, K, sigma, gamma, threshold):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -356,12 +367,12 @@ def _bwd_kernel(near_ref, far_ref, bbox_ref, data_ref, fwd_ref, gout_ref,
     rzrange = 1.0 / (far - near)
     tile_ymin, tile_ymax = _tile_ybounds(t, PT, S)
 
-    g_rgb = [gout_ref[0, :, k].reshape(PT, 1) for k in range(3)]
-    g_alpha = gout_ref[0, :, 3].reshape(PT, 1)
-    out_rgb = [fwd_ref[0, :, _ORGB + k].reshape(PT, 1) for k in range(3)]
-    out_alpha = fwd_ref[0, :, _OALPHA].reshape(PT, 1)
-    ssum = fwd_ref[0, :, _OSSUM].reshape(PT, 1)
-    smax = fwd_ref[0, :, _OSMAX].reshape(PT, 1)
+    g_rgb = [gout_ref[0, :, k].reshape(PT, 1) for k in range(K)]
+    g_alpha = gout_ref[0, :, K].reshape(PT, 1)
+    out_rgb = [fwd_ref[0, :, k].reshape(PT, 1) for k in range(K)]
+    out_alpha = fwd_ref[0, :, K].reshape(PT, 1)
+    ssum = fwd_ref[0, :, K + 1].reshape(PT, 1)
+    smax = fwd_ref[0, :, K + 2].reshape(PT, 1)
     rssum = 1.0 / ssum
 
     def work(i):
@@ -385,14 +396,14 @@ def _bwd_kernel(near_ref, far_ref, bbox_ref, data_ref, fwd_ref, gout_ref,
 
         wc = g["wc"]
         C_rgb = jnp.zeros_like(soft)
-        for k in range(3):
-            col = (wc[0] * fd(_TEX + k) + wc[1] * fd(_TEX + 3 + k)
-                   + wc[2] * fd(_TEX + 6 + k))
+        for k in range(K):
+            col = (wc[0] * fd(_TEX + k) + wc[1] * fd(_TEX + K + k)
+                   + wc[2] * fd(_TEX + 2 * K + k))
             C_rgb += g_rgb[k] * (col - out_rgb[k])
-            # texture grads: rows 9..17 of grad block (vertex major)
+            # texture grads: rows 9..9+3K-1 of grad block (vertex major)
             for j in range(3):
                 gt = jnp.sum(zsm * wc[j] * g_rgb[k], axis=0, keepdims=True)
-                row = 9 + 3 * j + k
+                row = 9 + K * j + k
                 grad_ref[0, row:row + 1, pl.ds(c0, C)] += gt
         C_rgb = C_rgb * zsm
 
@@ -431,17 +442,23 @@ def _supported(cfg: RasterizeConfig, image_size_sq_pt: bool = True) -> bool:
             and cfg.double_side)
 
 
+def _facedata_K(facedata) -> int:
+    return (facedata.shape[1] - _TEX) // 3
+
+
 def _fwd_pallas(facedata, bbox, near, far, cfg: RasterizeConfig,
                 interpret: bool):
     B = facedata.shape[0]
     Fp = facedata.shape[2]
+    K = _facedata_K(facedata)
+    OUT = _out_cols(K)
     S = cfg.image_size
     P = S * S
     PT = min(_DEFAULT_PT, P)
     C = _DEFAULT_C
     assert P % PT == 0 and Fp % C == 0
     kern = functools.partial(
-        _fwd_kernel, S=S, PT=PT, C=C, nchunks=Fp // C,
+        _fwd_kernel, S=S, PT=PT, C=C, nchunks=Fp // C, K=K,
         sigma=cfg.sigma, gamma=cfg.gamma, eps=cfg.eps,
         threshold=cfg.dist_threshold, bg=cfg.background)
     return pl.pallas_call(
@@ -451,12 +468,12 @@ def _fwd_pallas(facedata, bbox, near, far, cfg: RasterizeConfig,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _D, Fp), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, _drows(K), Fp), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, PT, _OUT_COLS), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, PT, OUT), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, P, _OUT_COLS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, P, OUT), jnp.float32),
         interpret=interpret,
     )(near, far, bbox, facedata)
 
@@ -465,12 +482,15 @@ def _bwd_pallas(facedata, bbox, fwd_raw, gout, near, far,
                 cfg: RasterizeConfig, interpret: bool):
     B = facedata.shape[0]
     Fp = facedata.shape[2]
+    K = _facedata_K(facedata)
+    OUT = _out_cols(K)
+    G = 9 + 3 * K
     S = cfg.image_size
     P = S * S
     PT = min(_DEFAULT_PT, P)
     C = _DEFAULT_C
     kern = functools.partial(
-        _bwd_kernel, S=S, PT=PT, C=C, nchunks=Fp // C,
+        _bwd_kernel, S=S, PT=PT, C=C, nchunks=Fp // C, K=K,
         sigma=cfg.sigma, gamma=cfg.gamma, threshold=cfg.dist_threshold)
     return pl.pallas_call(
         kern,
@@ -479,16 +499,16 @@ def _bwd_pallas(facedata, bbox, fwd_raw, gout, near, far,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _D, Fp), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, _drows(K), Fp), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PT, _OUT_COLS), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, PT, OUT), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PT, 4), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, PT, K + 1), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 18, Fp), lambda b, t: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, G, Fp), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 18, Fp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, G, Fp), jnp.float32),
         interpret=interpret,
     )(near, far, bbox, facedata, fwd_raw, gout)
 
@@ -496,13 +516,16 @@ def _bwd_pallas(facedata, bbox, fwd_raw, gout, near, far,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def soft_rasterize_pallas(face_vertices, textures, near, far,
                           cfg: RasterizeConfig, interpret: bool = False):
-    """[B, F, 3, 3] verts + [B, F, 3, 3] vertex colors -> [B, 4, H, W]."""
+    """[B, F, 3, 3] verts + [B, F, 3, K] vertex colors -> [B, K+1, H, W]."""
     out, _ = _pallas_fwd(face_vertices, textures, near, far, cfg, interpret)
     return out
 
 
 def _pallas_fwd(face_vertices, textures, near, far, cfg, interpret):
     B, F = face_vertices.shape[:2]
+    K = textures.shape[-1]
+    assert len(cfg.background) == K, \
+        f"background needs {K} entries, got {len(cfg.background)}"
     S = cfg.image_size
     near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), (B,))
     far = jnp.broadcast_to(jnp.asarray(far, jnp.float32), (B,))
@@ -510,24 +533,26 @@ def _pallas_fwd(face_vertices, textures, near, far, cfg, interpret):
         face_vertices.astype(jnp.float32), textures.astype(jnp.float32),
         margin=math.sqrt(cfg.dist_threshold))
     fwd_raw = _fwd_pallas(facedata, bbox, near, far, cfg, interpret)
-    out = fwd_raw[..., :4].reshape(B, S, S, 4).transpose(0, 3, 1, 2)
+    out = fwd_raw[..., :K + 1].reshape(B, S, S, K + 1).transpose(0, 3, 1, 2)
     return out, (facedata, bbox, inv_perm, fwd_raw, near, far, F)
 
 
 def _pallas_bwd(cfg, interpret, res, g):
     facedata, bbox, inv_perm, fwd_raw, near, far, F = res
     B = facedata.shape[0]
+    K = _facedata_K(facedata)
+    G = 9 + 3 * K
     P = cfg.image_size ** 2
-    gout = g.transpose(0, 2, 3, 1).reshape(B, P, 4).astype(jnp.float32)
+    gout = g.transpose(0, 2, 3, 1).reshape(B, P, K + 1).astype(jnp.float32)
     grads = _bwd_pallas(facedata, bbox, fwd_raw, gout, near, far, cfg,
                         interpret)
     # unsort back to the caller's face order, dropping padding faces
-    grads = jnp.take_along_axis(grads, inv_perm[:, None, :].repeat(18, 1), -1)
+    grads = jnp.take_along_axis(grads, inv_perm[:, None, :].repeat(G, 1), -1)
     gx = grads[:, 0:3].transpose(0, 2, 1)        # [B, F, 3]
     gy = grads[:, 3:6].transpose(0, 2, 1)
     gz = grads[:, 6:9].transpose(0, 2, 1)
     g_verts = jnp.stack([gx, gy, gz], -1)        # [B, F, 3, 3]
-    g_tex = grads[:, 9:18].transpose(0, 2, 1).reshape(B, F, 3, 3)
+    g_tex = grads[:, 9:G].transpose(0, 2, 1).reshape(B, F, 3, K)
     return g_verts, g_tex, None, None
 
 

@@ -71,7 +71,9 @@ class RasterizeConfig:
     aggr_alpha: str = "prod"         # prod | sum | hard
     texture_type: str = "vertex"     # vertex | surface
     double_side: bool = True         # 'fill_back' in the reference
-    background: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # one float per texture channel (K=3 for plain RGB renders; the model's
+    # merged flow+texture render uses K=9)
+    background: tuple[float, ...] = (0.0, 0.0, 0.0)
     face_chunk: int = 128
 
     @property
@@ -314,13 +316,16 @@ def _safe_depth(pre: FacePre, w_clip: jax.Array, near, far):
 
 def soft_rasterize_ref(
     face_vertices: jax.Array,  # [B, F, 3, 3]
-    textures: jax.Array,       # [B, F, 3, 3] (vertex) or [B, F, R*R, 3]
+    textures: jax.Array,       # [B, F, 3, K] (vertex) or [B, F, R*R, 3]
     cfg: RasterizeConfig,
     near,
     far,
 ) -> jax.Array:
-    """Returns [B, 4, H, W] RGBA."""
+    """Returns [B, K+1, H, W] (K texture channels + alpha)."""
     B, F = face_vertices.shape[:2]
+    K = textures.shape[-1]
+    assert len(cfg.background) == K, \
+        f"background needs {K} entries, got {len(cfg.background)}"
     S = cfg.image_size
     dt = face_vertices.dtype
     # near/far are plain floats in the reference (implicitly detached when
@@ -354,11 +359,11 @@ def soft_rasterize_ref(
         if cfg.aggr_rgb == "softmax":
             s_sum = jnp.full((B, P), jnp.exp(cfg.eps / cfg.gamma), dt)
             s_max = jnp.full((B, P), cfg.eps, dt)
-            rgb = jnp.broadcast_to(bg[None, None] * s_sum[..., None], (B, P, 3))
+            rgb = jnp.broadcast_to(bg[None, None] * s_sum[..., None], (B, P, K))
         else:  # hard
             s_sum = jnp.full((B, P), 1e7, dt)   # running min depth
             s_max = jnp.zeros((B, P), dt)
-            rgb = jnp.broadcast_to(bg[None, None], (B, P, 3)).astype(dt)
+            rgb = jnp.broadcast_to(bg[None, None], (B, P, K)).astype(dt)
         return alpha, rgb, s_sum, s_max
 
     def chunk_step(carry, chunk):
@@ -427,5 +432,5 @@ def soft_rasterize_ref(
     if cfg.aggr_rgb == "softmax":
         rgb = rgb / s_sum[..., None]
 
-    out = jnp.concatenate([rgb, alpha[..., None]], -1)  # [B, P, 4]
-    return out.reshape(B, S, S, 4).transpose(0, 3, 1, 2)
+    out = jnp.concatenate([rgb, alpha[..., None]], -1)  # [B, P, K+1]
+    return out.reshape(B, S, S, K + 1).transpose(0, 3, 1, 2)

@@ -81,3 +81,39 @@ def test_pallas_per_image_near_far():
     ref = np.asarray(sr.soft_rasterize_ref(fv, tex, cfg, near, far))
     pal = np.asarray(soft_rasterize_pallas(fv, tex, near, far, cfg, True))
     np.testing.assert_allclose(pal, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("K", [2, 9], ids=["K2", "K9"])
+def test_pallas_kchannel_forward_and_grads(K):
+    # K-channel textures (the merged flow+texture model render uses K=9
+    # with per-channel backgrounds)
+    fv, _ = random_mesh_scene(jax.random.PRNGKey(4))
+    tex = jax.random.normal(jax.random.PRNGKey(11), (2, 24, 3, K)).astype(jnp.float32)
+    bg = tuple(float(i % 2) for i in range(K))
+    cfg = sr.RasterizeConfig(image_size=32, sigma=1e-3, gamma=1e-2,
+                             background=bg, face_chunk=16)
+    near, far = 5.0, 15.0
+    ref = np.asarray(sr.soft_rasterize_ref(fv, tex, cfg, near, far))
+    pal = np.asarray(soft_rasterize_pallas(fv, tex, near, far, cfg, True))
+    assert pal.shape == (2, K + 1, 32, 32)
+    # normal-distributed textures (|tex| up to ~3) widen f32
+    # accumulation-order noise vs the [0,1] RGB cases
+    np.testing.assert_allclose(pal, ref, atol=2e-4, rtol=1e-4)
+
+    rng = np.random.RandomState(0)
+    pix_w = jnp.asarray(rng.rand(2, K + 1, 32, 32).astype(np.float32))
+
+    def loss_ref(fv, tex):
+        return (sr.soft_rasterize_ref(fv, tex, cfg, near, far) * pix_w).sum()
+
+    def loss_pal(fv, tex):
+        return (soft_rasterize_pallas(fv, tex, near, far, cfg, True) * pix_w).sum()
+
+    gr_v, gr_t = jax.grad(loss_ref, argnums=(0, 1))(fv, tex)
+    gp_v, gp_t = jax.grad(loss_pal, argnums=(0, 1))(fv, tex)
+    scale_v = np.abs(np.asarray(gr_v)).max() + 1e-8
+    scale_t = np.abs(np.asarray(gr_t)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(gp_v) / scale_v,
+                               np.asarray(gr_v) / scale_v, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gp_t) / scale_t,
+                               np.asarray(gr_t) / scale_t, atol=2e-4)
