@@ -87,6 +87,10 @@ def main():
     ap.add_argument("--loadmodel", default=None,
                     help="vcn_rob.pth checkpoint for --backend vcn")
     ap.add_argument("--testres", type=float, default=1.0)
+    ap.add_argument("--out", default=None,
+                    help="output sequence name (default r<seqname>; the "
+                    "reference's second auto_gen.sh pass writes the "
+                    "unfiltered flow back to <seqname> itself)")
     args = ap.parse_args()
 
     datapath = args.datapath or \
@@ -107,11 +111,15 @@ def main():
     else:
         backend = dis_flow_backend
 
-    out = f"r{args.seqname}"
+    out = args.out or f"r{args.seqname}"
     dirs = {k: f"{args.outroot}/{k}/Full-Resolution/{out}"
             for k in ("JPEGImages", "Annotations", "FlowFW", "FlowBW")}
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
+    # second auto_gen.sh pass (out == input seq): write flow only, don't
+    # recompress the input frames in place
+    write_frames = os.path.abspath(dirs["JPEGImages"]) != \
+        os.path.abspath(datapath)
 
     inx, jnx, ix = 0, 1, 0
     while jnx < len(imgs):
@@ -135,12 +143,15 @@ def main():
             write_pfm(f"{dirs['FlowFW']}/occ-{ix:05d}.pfm", occ_fw)
             write_pfm(f"{dirs['FlowBW']}/flo-{ix + 1:05d}.pfm", flow_bw)
             write_pfm(f"{dirs['FlowBW']}/occ-{ix + 1:05d}.pfm", occ_bw)
-            cv2.imwrite(f"{dirs['JPEGImages']}/{ix:05d}.jpg", img0[:, :, ::-1])
-            cv2.imwrite(f"{dirs['JPEGImages']}/{ix + 1:05d}.jpg", img1[:, :, ::-1])
-            cv2.imwrite(f"{dirs['Annotations']}/{ix:05d}.png",
-                        mask0.astype(np.uint8) * 128)
-            cv2.imwrite(f"{dirs['Annotations']}/{ix + 1:05d}.png",
-                        mask1.astype(np.uint8) * 128)
+            if write_frames:
+                cv2.imwrite(f"{dirs['JPEGImages']}/{ix:05d}.jpg",
+                            img0[:, :, ::-1])
+                cv2.imwrite(f"{dirs['JPEGImages']}/{ix + 1:05d}.jpg",
+                            img1[:, :, ::-1])
+                cv2.imwrite(f"{dirs['Annotations']}/{ix:05d}.png",
+                            mask0.astype(np.uint8) * 128)
+                cv2.imwrite(f"{dirs['Annotations']}/{ix + 1:05d}.png",
+                            mask1.astype(np.uint8) * 128)
             inx = jnx
             ix += 1
         jnx += 1
