@@ -47,22 +47,18 @@ def main():
     tr = Trainer(cfg)
     tr.reinit_bones()
 
-    ids = jnp.asarray([0])
-    key = jax.random.PRNGKey(0)
+    # the production path: one scanned XLA program over the step schedule
+    n = 50
+    ids_all = jnp.zeros((n, 1), jnp.int32)
     p, s = tr.params, tr.opt_state
     # warmup / compile
-    for i in range(2):
-        p, s, scalars, _, _ = tr.update_step(
-            p, s, tr.dev_arrays, ids, jax.random.fold_in(key, i),
-            jnp.asarray(0), jnp.asarray(i))
+    p, s, *_ = tr.epoch_scan(p, s, tr.dev_arrays, ids_all,
+                             jnp.asarray(0, jnp.int32), jnp.asarray(0))
     jax.block_until_ready(p)
 
-    n = 30
     t0 = time.time()
-    for i in range(n):
-        p, s, scalars, _, _ = tr.update_step(
-            p, s, tr.dev_arrays, ids, jax.random.fold_in(key, 100 + i),
-            jnp.asarray(1), jnp.asarray(200 + i))
+    p, s, *_ = tr.epoch_scan(p, s, tr.dev_arrays, ids_all,
+                             jnp.asarray(1, jnp.int32), jnp.asarray(1))
     jax.block_until_ready(p)
     dt = time.time() - t0
     sps = n / dt

@@ -20,11 +20,13 @@ Layout: images are NHWC float32 in [-2.5, 2.5]-ish (ImageNet-normalized).
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import quat as quat_ops
 
@@ -129,17 +131,66 @@ class CodePredictor(nn.Module):
                     depth=depth, ppoint=ppoint)
 
 
-def create_nets(key: jax.Array, img_size: int, nz_feat: int, n_bones: int,
-                n_hypo: int):
-    """Initialize encoder + predictor; returns (modules, params).
+def _truncated_normal(rng: np.random.RandomState, shape, std: float):
+    """N(0, std²) truncated to ±2σ (flax's truncated_normal semantics)."""
+    x = rng.standard_normal(shape)
+    for _ in range(8):
+        bad = np.abs(x) > 2.0
+        if not bad.any():
+            break
+        x[bad] = rng.standard_normal(int(bad.sum()))
+    return (x * std).astype(np.float32)
 
-    init is jitted: eager initialization dispatches hundreds of tiny ops,
-    which is pathologically slow on a tunneled TPU backend; one compiled
-    (persistently cached) program runs in milliseconds."""
+
+def _host_init(shapes, seed: int) -> dict:
+    """numpy initialization matching the flax module definitions above.
+
+    Initializing through XLA (jitted enc.init/pred.init) costs a full
+    compile of the init program — measured ~17s on the tunneled TPU backend
+    and ~90s on this host's XLA-CPU — for what is just RNG sampling.
+    `shapes` comes from jax.eval_shape (tracing only, no compile); rules:
+      * AffineNorm: scale -> ones, bias -> zeros;
+      * Dense / head kernels and the 4x4 enc_conv1 (Encoder's Conv_1):
+        N(0, 0.02) (ref:third_party/ext_nnutils/net_blocks.py:236-249);
+      * all other conv kernels: flax-default lecun (truncated) normal;
+      * every bias -> zeros.
+    """
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+
+    def init_leaf(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        last = names[-1]
+        shape = tuple(leaf.shape)
+        if "AffineNorm" in names[-2]:
+            fill = np.ones if last == "scale" else np.zeros
+            return fill(shape, np.float32)
+        if last == "bias":
+            return np.zeros(shape, np.float32)
+        assert last == "kernel", f"unknown param {names}"
+        root = names[0]                      # "encoder" | "code_predictor"
+        mods = names[2:-1]                   # module chain under "params"
+        if root == "code_predictor" or mods[0] in ("Conv_1", "Dense_0",
+                                                   "Dense_1"):
+            return (0.02 * rng.standard_normal(shape)).astype(np.float32)
+        fan_in = int(np.prod(shape[:-1]))
+        std = math.sqrt(1.0 / fan_in) / 0.87962566103423978
+        return _truncated_normal(rng, shape, std)
+
+    return jax.tree_util.tree_map_with_path(init_leaf, shapes)
+
+
+def create_nets(seed: int, img_size: int, nz_feat: int, n_bones: int,
+                n_hypo: int):
+    """Initialize encoder + predictor; returns (modules, host params).
+
+    Shapes come from jax.eval_shape (pure tracing); values are sampled with
+    numpy on the host.  No XLA compile and no device op whatsoever: even a
+    single tiny eager op at init time can stall minutes on a cold tunneled
+    TPU backend (first-op compile + transport round-trip).  The trainer
+    device-puts the params where it wants them."""
     enc = Encoder(nz_feat=nz_feat)
     pred = CodePredictor(n_bones=n_bones, n_hypo=n_hypo)
 
-    @jax.jit
     def _init(key):
         k1, k2 = jax.random.split(key)
         dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
@@ -147,4 +198,5 @@ def create_nets(key: jax.Array, img_size: int, nz_feat: int, n_bones: int,
                 "code_predictor": pred.init(
                     k2, jnp.zeros((1, nz_feat), jnp.float32))}
 
-    return (enc, pred), _init(key)
+    shapes = jax.eval_shape(_init, jax.ShapeDtypeStruct((2,), jnp.uint32))
+    return (enc, pred), _host_init(shapes, int(seed))

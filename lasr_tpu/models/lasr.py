@@ -58,13 +58,16 @@ class LasrModel:
     """Holds static per-stage state (topology, modules, raster configs) and
     provides the pure loss function over (params, batch, ...)."""
 
-    def __init__(self, cfg: LasrConfig, key=None,
+    def __init__(self, cfg: LasrConfig, seed: int | None = None,
                  mean_shape: np.ndarray | None = None,
                  faces: np.ndarray | None = None,
                  tex_init: np.ndarray | None = None):
         self.cfg = cfg
-        key = jax.random.PRNGKey(cfg.seed) if key is None else key
-        k_net, k_tex, k_pnet = jax.random.split(key, 3)
+        # init-time randomness is all host numpy — construction must not
+        # touch the accelerator (see create_nets)
+        ss = np.random.SeedSequence(cfg.seed if seed is None else seed)
+        s_net, s_tex, s_pnet = (int(c.generate_state(1)[0])
+                                for c in ss.spawn(3))
 
         # ---- mesh template -------------------------------------------------
         if faces is not None:
@@ -97,26 +100,28 @@ class LasrModel:
 
         # ---- networks -------------------------------------------------------
         (self.encoder, self.code_predictor), net_params = create_nets(
-            k_net, cfg.img_size, cfg.nz_feat, cfg.n_bones, cfg.n_hypo)
-        self.perceptual = PerceptualLoss(k_pnet)
+            s_net, cfg.img_size, cfg.nz_feat, cfg.n_bones, cfg.n_hypo)
+        self.perceptual = PerceptualLoss(s_pnet)
 
-        # ---- parameters ------------------------------------------------------
+        # ---- parameters (host numpy; the trainer device-puts them) ----------
         H, K = cfg.n_hypo, cfg.n_bones
         params = dict(net_params)
-        params["mean_v"] = jnp.tile(jnp.asarray(mean_v0), (H, 1, 1))
+        params["mean_v"] = np.tile(np.asarray(mean_v0, np.float32), (H, 1, 1))
         if tex_init is not None:
-            params["tex"] = jnp.asarray(tex_init)
+            params["tex"] = np.asarray(tex_init, np.float32)
         else:
             # ref: tex ~ N(0, 1), sigmoid applied at use (ext_nnutils/mesh_net.py:96)
             n_tex = n_param_verts if (cfg.symmetric and cfg.symmetric_texture) \
                 else self.num_verts
-            params["tex"] = jax.random.normal(k_tex, (1, n_tex, 3)).repeat(H, 0)
+            tex_rng = np.random.RandomState(s_tex & 0x7FFFFFFF)
+            params["tex"] = np.repeat(
+                tex_rng.standard_normal((1, n_tex, 3)).astype(np.float32), H, 0)
         if K > 1:
-            params["ctl_rs"] = jnp.tile(
-                jnp.asarray([0.0, 0, 0, 1]), (H, K - 1, 1))
-            params["rest_ts"] = jnp.zeros((H, K - 1, 3))
-            params["ctl_ts"] = jnp.zeros((H, K - 1, 3))
-            params["log_ctl"] = jnp.zeros((H, K - 1, 3))
+            params["ctl_rs"] = np.tile(
+                np.asarray([0.0, 0, 0, 1], np.float32), (H, K - 1, 1))
+            params["rest_ts"] = np.zeros((H, K - 1, 3), np.float32)
+            params["ctl_ts"] = np.zeros((H, K - 1, 3), np.float32)
+            params["log_ctl"] = np.zeros((H, K - 1, 3), np.float32)
         self.init_params = params
 
         # ---- rasterizer configs ----------------------------------------------
@@ -148,6 +153,21 @@ class LasrModel:
         if self.sym is None or not self.cfg.symmetric_texture:
             return t
         return jnp.concatenate([t, t[:, self.sym.num_indept:]], 1)
+
+    # host (numpy) twins — init/checkpoint paths must not dispatch device ops
+    def symmetrize_host(self, v: np.ndarray) -> np.ndarray:
+        if self.sym is None:
+            return v
+        flip = np.ones(3, np.float32)
+        flip[self.cfg.symidx] = -1.0
+        out = np.concatenate([v, v[:, self.sym.num_indept:] * flip], 1)
+        out[:, :self.sym.num_indept, self.cfg.symidx] = 0.0
+        return out
+
+    def symmetrize_color_host(self, t: np.ndarray) -> np.ndarray:
+        if self.sym is None or not self.cfg.symmetric_texture:
+            return t
+        return np.concatenate([t, t[:, self.sym.num_indept:]], 1)
 
     def mean_shape(self, params):
         """(pred_v [H, V, 3], tex_rgb [H, V, 3] post-sigmoid)."""

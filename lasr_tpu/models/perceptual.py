@@ -53,12 +53,30 @@ def _normalize_channels(feat, eps=1e-10):
 
 
 class PerceptualLoss:
-    def __init__(self, key: jax.Array | None = None):
+    def __init__(self, seed: int = 1234):
         self.net = AlexNetFeatures()
-        if key is None:
-            key = jax.random.PRNGKey(1234)
-        self.params = jax.jit(lambda k: self.net.init(
-            k, jnp.zeros((1, 64, 64, 3), jnp.float32)))(key)
+        # Weights are sampled with numpy on the host and STAY numpy: the
+        # loss closes over them, and lowering a program that closes over
+        # *device-resident* constants re-reads each one through the (slow,
+        # possibly tunneled) device transport — measured 520s vs 0.1s for
+        # host-side constants on the axon TPU backend.  Going through a
+        # jitted net.init would also pay a full XLA compile of the init
+        # program for plain RNG sampling; eval_shape is tracing-only.
+        from .encoder import _truncated_normal
+        shapes = jax.eval_shape(lambda k: self.net.init(
+            k, jnp.zeros((1, 64, 64, 3), jnp.float32)),
+            jax.ShapeDtypeStruct((2,), jnp.uint32))
+        rng = np.random.RandomState(int(seed) & 0x7FFFFFFF)
+
+        def init_leaf(path, leaf):
+            name = getattr(path[-1], "key", str(path[-1]))
+            if name == "bias":
+                return np.zeros(leaf.shape, np.float32)
+            fan_in = int(np.prod(leaf.shape[:-1]))
+            std = np.sqrt(1.0 / fan_in) / 0.87962566103423978
+            return _truncated_normal(rng, tuple(leaf.shape), std)
+
+        self.params = jax.tree_util.tree_map_with_path(init_leaf, shapes)
 
     def __call__(self, img0: jax.Array, img1: jax.Array) -> jax.Array:
         """img0/img1 [B, 3, H, W] in [-1, 1] -> [B] distances."""
@@ -84,6 +102,6 @@ class PerceptualLoss:
         for i, name in enumerate(names):
             w = data[f"conv{i}_w"].transpose(2, 3, 1, 0)  # OIHW -> HWIO
             b = data[f"conv{i}_b"]
-            flat[name]["kernel"] = jnp.asarray(w)
-            flat[name]["bias"] = jnp.asarray(b)
+            flat[name]["kernel"] = np.ascontiguousarray(w)
+            flat[name]["bias"] = np.asarray(b)
         self.params = params

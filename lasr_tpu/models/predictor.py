@@ -87,7 +87,10 @@ class MeshPredictor:
             self.model = LasrModel(cfg)
         else:
             self.model = LasrModel(cfg, mean_shape=mean_shape, faces=faces)
-        self.params = ckpt.apply_patch(self.model.init_params, patch)
+        # one up-front transfer: init_params may hold host (numpy) leaves,
+        # and per-frame predict() calls should not re-upload the weights
+        self.params = jax.device_put(
+            ckpt.apply_patch(self.model.init_params, patch))
         self.faces = self.model.faces
         self._core = jax.jit(self._predict_core)
         self._raster = {}

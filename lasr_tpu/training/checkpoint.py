@@ -33,25 +33,29 @@ from ..utils.kmeans import kmeans
 
 
 def _flatten(params) -> dict:
+    # per-leaf np.asarray: ~8s for a 57MB tree on the tunneled TPU.  Do NOT
+    # use jax.device_get(tree) here — its batched transfer path is
+    # pathologically slow on the axon backend (measured 305s for the same
+    # tree).
     return {"/".join(k): np.asarray(v) for k, v in
             traverse_util.flatten_dict(params).items()}
 
 
 def _unflatten(flat: dict):
     return traverse_util.unflatten_dict(
-        {tuple(k.split("/")): jnp.asarray(v) for k, v in flat.items()})
+        {tuple(k.split("/")): np.asarray(v) for k, v in flat.items()})
 
 
 def save_checkpoint(path: str, params, model, epoch_nscore) -> None:
     flat = _flatten(params)
     optim = int(np.argmax(-np.asarray(epoch_nscore)))
-    full_shape, full_tex = jax.tree.map(
-        np.asarray, model.mean_shape(params))
+    # derived artifacts computed host-side (one bulk device read via
+    # _flatten above; no eager device compute)
+    full_shape = model.symmetrize_host(flat["mean_v"])
     flat["__faces"] = model.faces
     flat["__full_shape"] = full_shape[optim]
     # raw (pre-sigmoid) full texture of the winning hypothesis
-    flat["__full_tex"] = np.asarray(
-        model.symmetrize_color(params["tex"]))[optim]
+    flat["__full_tex"] = model.symmetrize_color_host(flat["tex"])[optim]
     flat["__epoch_nscore"] = np.asarray(epoch_nscore)
     flat["__n_hypo"] = np.asarray(model.cfg.n_hypo)
     flat["__n_bones"] = np.asarray(model.cfg.n_bones)
@@ -115,12 +119,12 @@ def load_with_surgery(path: str, cfg: LasrConfig, remesh_fn=None):
 
     patch = {}
     if cfg.symmetric:
-        patch["mean_v"] = jnp.asarray(flat["mean_v"])
-        patch["tex"] = jnp.asarray(flat["tex"])
+        patch["mean_v"] = np.asarray(flat["mean_v"])
+        patch["tex"] = np.asarray(flat["tex"])
         mean_shape, faces = None, None   # model rebuilds the symmetric sphere
     else:
-        patch["mean_v"] = jnp.asarray(mean_shape)[None]
-        patch["tex"] = jnp.asarray(tex)[None]
+        patch["mean_v"] = np.asarray(mean_shape)[None]
+        patch["tex"] = np.asarray(tex)[None]
 
     # network weights
     for key, val in flat.items():
@@ -135,7 +139,7 @@ def load_with_surgery(path: str, cfg: LasrConfig, remesh_fn=None):
                 patch.setdefault("__flat__", {})[key] = val
         for k in ("ctl_rs", "rest_ts", "ctl_ts", "log_ctl"):
             if k in flat and cfg.n_bones > 1:
-                patch[k] = jnp.asarray(flat[k])
+                patch[k] = np.asarray(flat[k])
     else:
         # rigid -> deformable (or bone-count change): keep only the body row
         # of quat/trans/depth; bone rows come from the fresh init
@@ -169,7 +173,7 @@ def load_with_surgery(path: str, cfg: LasrConfig, remesh_fn=None):
                 centers = kmeans(np.asarray(shape_for_km), cfg.n_bones - 1)
             else:
                 centers = np.asarray(shape_for_km).mean(0, keepdims=True)
-            patch["rest_ts"] = jnp.tile(jnp.asarray(centers)[None],
+            patch["rest_ts"] = np.tile(np.asarray(centers)[None],
                                         (cfg.n_hypo, 1, 1))
             patch["ctl_ts"] = patch["rest_ts"]
 
@@ -207,11 +211,11 @@ def load_with_surgery_eval(path: str, cfg: LasrConfig):
 
     patch = {"__flat__": {k: v for k, v in flat.items()
                           if k.startswith(("encoder/", "code_predictor/"))}}
-    patch["mean_v"] = jnp.asarray(flat["mean_v"])
-    patch["tex"] = jnp.asarray(flat["tex"])
+    patch["mean_v"] = np.asarray(flat["mean_v"])
+    patch["tex"] = np.asarray(flat["tex"])
     for k in ("ctl_rs", "rest_ts", "ctl_ts", "log_ctl"):
         if k in flat:
-            patch[k] = jnp.asarray(flat[k])
+            patch[k] = np.asarray(flat[k])
     mean_shape = None if cfg.symmetric else flat["mean_v"][0]
     return mean_shape, faces, patch
 
@@ -225,7 +229,7 @@ def apply_patch(init_params, patch):
     for key, val in flat_patch.items():
         tkey = tuple(key.split("/"))
         if tkey in flat_new and flat_new[tkey].shape == val.shape:
-            flat_new[tkey] = jnp.asarray(val)
+            flat_new[tkey] = np.asarray(val)
     if body_rows is not None:
         for key, val in body_rows.items():
             tkey = tuple(key.split("/"))
@@ -234,28 +238,28 @@ def apply_patch(init_params, patch):
                 if "quat" in key:
                     cur = cur.reshape(-1, 4)
                     cur[:1] = val
-                    flat_new[tkey] = jnp.asarray(cur.reshape(-1))
+                    flat_new[tkey] = np.asarray(cur.reshape(-1))
                 elif "trans" in key:
                     cur = cur.reshape(-1, 2)
                     cur[:1] = val
-                    flat_new[tkey] = jnp.asarray(cur.reshape(-1))
+                    flat_new[tkey] = np.asarray(cur.reshape(-1))
                 else:  # depth
                     cur[:1] = val
-                    flat_new[tkey] = jnp.asarray(cur)
+                    flat_new[tkey] = np.asarray(cur)
             else:
                 nz = cur.shape[0]
                 if "quat" in key:
                     cur = cur.reshape(nz, -1, 4)
                     cur[:, :1] = val
-                    flat_new[tkey] = jnp.asarray(cur.reshape(nz, -1))
+                    flat_new[tkey] = np.asarray(cur.reshape(nz, -1))
                 elif "trans" in key:
                     cur = cur.reshape(nz, -1, 2)
                     cur[:, :1] = val
-                    flat_new[tkey] = jnp.asarray(cur.reshape(nz, -1))
+                    flat_new[tkey] = np.asarray(cur.reshape(nz, -1))
                 else:
                     cur = cur.reshape(nz, -1, 1)
                     cur[:, :1] = val
-                    flat_new[tkey] = jnp.asarray(cur.reshape(nz, -1))
+                    flat_new[tkey] = np.asarray(cur.reshape(nz, -1))
     params = traverse_util.unflatten_dict(flat_new)
     for key, val in patch.items():
         if key in params and params[key].shape == val.shape:

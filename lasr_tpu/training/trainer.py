@@ -100,16 +100,27 @@ class Trainer:
         self.params = self.model.init_params
         if patch is not None:
             self.params = ckpt.apply_patch(self.params, patch)
-        # private buffers: the scanned epoch donates params/opt_state, which
-        # would invalidate model.init_params if they aliased
-        self.params = jax.tree.map(lambda x: jnp.array(x), self.params)
 
         steps_per_epoch = len(self.dataset.epoch_schedule(
             np.random.RandomState(0), cfg.batch_size, cfg.ngpu))
         self.optimizer = make_optimizer(cfg, steps_per_epoch)
-        self.opt_state = self.optimizer.init(self.params)
+        # opt_state is built eagerly on the host CPU (zeros_like over ~170
+        # leaves — per-op dispatch to a tunneled TPU costs seconds), then
+        # params + opt_state move to the accelerator in ONE device_put.
+        # init_params are host numpy, so this also creates fresh device
+        # buffers — required because the scanned epoch donates them.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            opt_state = self.optimizer.init(self.params)
+        self.params, self.opt_state = jax.device_put(
+            (self.params, opt_state), jax.devices()[0])
         self.epoch_nscore = np.zeros(cfg.n_hypo, np.float32)
         self._build_step()
+        from concurrent.futures import ThreadPoolExecutor
+        self._save_pool = ThreadPoolExecutor(max_workers=1,
+                                             thread_name_prefix="ckpt_save")
+        self._save_futures = []
+        self._ravel_fn = None
         self.log = None
         if cfg.checkpoint_dir:
             os.makedirs(cfg.save_dir, exist_ok=True)
@@ -153,14 +164,23 @@ class Trainer:
             self.update_step = jax.jit(update_step)
         self._raw_step = update_step
 
-        def epoch_scan(params, opt_state, dev_arrays, ids_all, key, epoch):
+        IMAGE_KEYS = ("mask_pred", "flow_rd", "vis_mask", "texture_render")
+
+        def epoch_scan(params, opt_state, dev_arrays, ids_all, epoch_seed,
+                       epoch):
             """One XLA program per epoch: lax.scan over the step schedule.
             Collapses per-step host dispatch (expensive on a tunneled TPU)
-            and lets XLA keep params/optimizer state resident via donation."""
-            n_steps = ids_all.shape[0]
+            and lets XLA keep params/optimizer state resident via donation.
+            The step-0 image panels (ref logs at i==0) ride along as a scan
+            carry selected at i==0 — no separate eagerly-jitted step program
+            (each extra program costs ~35s of cold TPU compile).  The PRNG
+            key is built from a host int INSIDE the traced program: eager
+            PRNGKey/split ops at the host level each pay a tiny-program
+            compile + round-trip on the tunneled backend."""
+            key = jax.random.PRNGKey(epoch_seed)
 
             def step(carry, inp):
-                params, opt_state = carry
+                params, opt_state, images = carry
                 ids, i = inp
                 rng = jax.random.fold_in(key, i)
                 batch = gather_batch(dev_arrays, ids)
@@ -175,13 +195,22 @@ class Trainer:
                         if k in aux}
                 scal["grads_finite"] = finite.astype(jnp.float32)
                 nscore = jnp.where(i > 100, aux["current_nscore"], 0.0)
-                return (params, opt_state), (scal, nscore)
+                images = {k: jnp.where(i == 0, aux[k], images[k])
+                          for k in IMAGE_KEYS}
+                return (params, opt_state, images), (scal, nscore)
 
-            # step 0 runs outside the scan (it logs image panels)
-            iters = jnp.arange(n_steps) + 1
-            (params, opt_state), (scals, nscores) = jax.lax.scan(
-                step, (params, opt_state), (ids_all, iters))
-            return params, opt_state, scals, nscores.sum(0)
+            n2 = 2 * ids_all.shape[1]
+            H, S = self.cfg.n_hypo, self.cfg.img_size
+            images0 = {
+                "mask_pred": jnp.zeros((n2, H, S, S)),
+                "flow_rd": jnp.zeros((n2, H, S, S, 2)),
+                "vis_mask": jnp.zeros((n2, H, S, S)),
+                "texture_render": jnp.zeros((n2, H, 3, S, S)),
+            }
+            iters = jnp.arange(ids_all.shape[0])
+            (params, opt_state, images), (scals, nscores) = jax.lax.scan(
+                step, (params, opt_state, images0), (ids_all, iters))
+            return params, opt_state, scals, nscores.sum(0), images
 
         if self.cfg.ngpu > 1:
             from ..parallel import shard_epoch_scan
@@ -196,20 +225,29 @@ class Trainer:
         cfg = self.cfg
         if cfg.n_bones <= 1:
             return
-        full = np.asarray(self.model.symmetrize(self.params["mean_v"]))
+        # host-side symmetrize (no eager device ops at init time)
+        full = self.model.symmetrize_host(np.asarray(self.params["mean_v"]))
         centers = np.stack([kmeans(full[h], cfg.n_bones - 1)
                             for h in range(cfg.n_hypo)])
-        self.params["rest_ts"] = jnp.asarray(centers)
-        self.params["ctl_ts"] = jnp.asarray(centers)
-        self.params["ctl_rs"] = jnp.tile(jnp.asarray([0.0, 0, 0, 1]),
-                                         (cfg.n_hypo, cfg.n_bones - 1, 1))
-        self.params["log_ctl"] = jnp.ones((cfg.n_hypo, cfg.n_bones - 1, 3))
+        # device_put with an explicit device: plain jnp.asarray would create
+        # UNCOMMITTED arrays, which key the executable cache differently from
+        # the jit outputs fed back at epoch 1 — forcing a second ~40s compile
+        # of the epoch program
+        centers = np.asarray(centers, np.float32)
+        new = {
+            "rest_ts": centers,
+            "ctl_ts": centers.copy(),
+            "ctl_rs": np.tile(np.asarray([0.0, 0, 0, 1], np.float32),
+                              (cfg.n_hypo, cfg.n_bones - 1, 1)),
+            "log_ctl": np.ones((cfg.n_hypo, cfg.n_bones - 1, 3), np.float32),
+        }
+        self.params.update(jax.device_put(new, jax.devices()[0]))
 
     # ------------------------------------------------------------------
     def train(self, log_images_fn=None, verbose: bool = True):
         cfg = self.cfg
         rng_np = np.random.RandomState(cfg.seed)
-        key = jax.random.PRNGKey(cfg.seed + 1)
+        seed_np = np.random.RandomState(cfg.seed + 1)
         writer = self._tb_writer()
         total_steps = 0
         self.save("0")
@@ -224,34 +262,22 @@ class Trainer:
             self.epoch_nscore[:] = 0
             sched = self.dataset.epoch_schedule(rng_np, cfg.batch_size, cfg.ngpu)
             t0 = time.time()
-            key, epoch_key = jax.random.split(key)
+            epoch_seed = jnp.asarray(seed_np.randint(0, 2 ** 31 - 1),
+                                     jnp.int32)
 
-            # step 0 eagerly: it logs image panels (ref logs at i==0)
             if self.mesh is not None:
-                from ..parallel import put_sharded_ids
-                ids0 = put_sharded_ids(sched[0], self.mesh)
+                from ..parallel import put_sharded_schedule
+                ids_all = put_sharded_schedule(sched, self.mesh)
             else:
-                ids0 = jnp.asarray(sched[0])
-            self.params, self.opt_state, scalars0, _, images = \
-                self.update_step(self.params, self.opt_state, self.dev_arrays,
-                                 ids0, jax.random.fold_in(epoch_key, 0),
-                                 jnp.asarray(epoch), jnp.asarray(0))
+                ids_all = jnp.asarray(sched)
+            self.params, self.opt_state, scals, nscore_sum, images = \
+                self.epoch_scan(self.params, self.opt_state, self.dev_arrays,
+                                ids_all, epoch_seed, jnp.asarray(epoch))
+            self.epoch_nscore += np.asarray(nscore_sum)
             if writer is not None:
                 self._log_images(writer, images, sched[0], optim_idx, epoch)
             if log_images_fn is not None:
                 log_images_fn(epoch, images, sched[0])
-
-            # remaining steps in one scanned XLA call
-            ids_rest = sched[1:]
-            if self.mesh is not None:
-                from ..parallel import put_sharded_schedule
-                ids_rest = put_sharded_schedule(ids_rest, self.mesh)
-            else:
-                ids_rest = jnp.asarray(ids_rest)
-            self.params, self.opt_state, scals, nscore_sum = self.epoch_scan(
-                self.params, self.opt_state, self.dev_arrays, ids_rest,
-                epoch_key, jnp.asarray(epoch))
-            self.epoch_nscore += np.asarray(nscore_sum)
 
             scals = jax.tree.map(np.asarray, scals)
             if writer is not None:
@@ -265,18 +291,45 @@ class Trainer:
                 print(f"  epoch {epoch}: {len(sched)} steps in {dt:.1f}s "
                       f"({dt / len(sched) * 1e3:.0f} ms/step), "
                       f"loss {float(scals['total_loss'][-1]):.4f}")
-            scalars = {"total_loss": scals["total_loss"][-1]}
             if not bool(scals["grads_finite"].all()):
                 print("  warning: non-finite gradients were zeroed this epoch")
             if (epoch + 1) % cfg.save_epoch_freq == 0:
-                self.save("latest")
-                self.save(str(epoch + 1))
+                self.save("latest", str(epoch + 1))
+        self.finish_saves()
         return self.params
 
     # ------------------------------------------------------------------
-    def save(self, label: str):
-        path = os.path.join(self.cfg.save_dir, f"pred_net_{label}.npz")
-        ckpt.save_checkpoint(path, self.params, self.model, self.epoch_nscore)
+    def _snapshot_host(self):
+        """Synchronous params snapshot as ONE raveled device->host read
+        (~3s for 57MB vs ~8s per-leaf on the tunneled TPU; the read must
+        finish before the next epoch_scan call donates these buffers)."""
+        leaves, treedef = jax.tree_util.tree_flatten(self.params)
+        if self._ravel_fn is None:
+            self._ravel_fn = jax.jit(
+                lambda p: jax.flatten_util.ravel_pytree(p)[0])
+        flat = np.asarray(self._ravel_fn(self.params))
+        sizes = np.cumsum([l.size for l in leaves])[:-1]
+        host_leaves = [s.reshape(l.shape).astype(l.dtype) for s, l in
+                       zip(np.split(flat, sizes), leaves)]
+        return jax.tree_util.tree_unflatten(treedef, host_leaves)
+
+    def save(self, *labels: str):
+        """Checkpoint write: ONE device read for all labels (donation
+        safety requires it to be synchronous); the npz serialization +
+        disk writes run off-thread and overlap the next epoch's device
+        work."""
+        host_params = self._snapshot_host()
+        nscore = self.epoch_nscore.copy()
+        self._save_futures = [f for f in self._save_futures if not f.done()]
+        for label in labels:
+            path = os.path.join(self.cfg.save_dir, f"pred_net_{label}.npz")
+            self._save_futures.append(self._save_pool.submit(
+                ckpt.save_checkpoint, path, host_params, self.model, nscore))
+
+    def finish_saves(self):
+        for f in self._save_futures:
+            f.result()
+        self._save_futures = []
 
     def _tb_writer(self):
         try:

@@ -30,14 +30,17 @@ def test_epoch_scan_runs(tmp_path):
     tr.reinit_bones()
     before = np.asarray(tr.params["mean_v"]).copy()
     ids_all = jnp.asarray(np.zeros((4, 1), np.int64))
-    p, s, scals, nscore = tr.epoch_scan(
+    p, s, scals, nscore, images = tr.epoch_scan(
         tr.params, tr.opt_state, tr.dev_arrays, ids_all,
-        jax.random.PRNGKey(0), jnp.asarray(0))
+        jnp.asarray(0, jnp.int32), jnp.asarray(0))
     assert scals["total_loss"].shape == (4,)
     assert np.isfinite(np.asarray(scals["total_loss"])).all()
     assert nscore.shape == (1,)
     # params actually moved
     assert np.abs(np.asarray(p["mean_v"]) - before).max() > 0
+    # step-0 image panels rode along in the carry
+    assert images["mask_pred"].shape == (2, 1, 64, 64)
+    assert float(jnp.abs(images["texture_render"]).max()) > 0
 
 
 def test_epoch_scan_sharded(tmp_path):
@@ -47,8 +50,8 @@ def test_epoch_scan_sharded(tmp_path):
     tr.reinit_bones()
     from lasr_tpu.parallel import put_sharded_schedule
     ids_all = put_sharded_schedule(np.zeros((3, 2), np.int64), tr.mesh)
-    p, s, scals, nscore = tr.epoch_scan(
+    p, s, scals, nscore, images = tr.epoch_scan(
         tr.params, tr.opt_state, tr.dev_arrays, ids_all,
-        jax.random.PRNGKey(0), jnp.asarray(0))
+        jnp.asarray(0, jnp.int32), jnp.asarray(0))
     assert np.isfinite(np.asarray(scals["total_loss"])).all()
     assert jax.tree_util.tree_leaves(p)[0].sharding.is_fully_replicated

@@ -77,6 +77,7 @@ def test_checkpoint_roundtrip_and_surgery(tmp_path):
     tr.reinit_bones()
     tr.epoch_nscore = np.array([5.0, 1.0], np.float32)  # hypo 1 wins
     tr.save("latest")
+    tr.finish_saves()   # save() is async (writes overlap the next epoch)
     path = os.path.join(cfg.save_dir, "pred_net_latest.npz")
     assert os.path.exists(path)
 
