@@ -180,14 +180,15 @@ def _pair_geometry(fd, xp, yp, sigma, threshold):
     fxv = [fd(_FX + j) for j in range(3)]
     fyv = [fd(_FY + j) for j in range(3)]
 
-    # per-edge foot parameter t (fraction on v0) — raw and clamped
-    t_raw, t_clip = [], []
+    # per-edge foot parameter t (fraction on v0): inside pixels use the raw
+    # foot, outside the [0,1]-clamped one — selecting t per edge up front
+    # halves the foot/distance math vs computing both variants
+    t_sel = []
     for k, (v0, v1, _v2) in enumerate(_EDGE):
         a0 = [fd(_A0 + 3 * k + j) for j in range(3)]
         wa0 = w0 * a0[0] + w1 * a0[1] + w2 * a0[2]
         t = (wa0 - fd(_A0V1 + k)) * fd(_RDEN + k)
-        t_raw.append(t)
-        t_clip.append(jnp.clip(t, 0.0, 1.0))
+        t_sel.append(jnp.where(inside, t, jnp.clip(t, 0.0, 1.0)))
 
     def foot(k, t):
         """(tc0, tc1, tc2, dis_x, dis_y) for edge k with foot parameter t."""
@@ -198,12 +199,13 @@ def _pair_geometry(fd, xp, yp, sigma, threshold):
         dis_y = tc[0] * fyv[0] + tc[1] * fyv[1] + tc[2] * fyv[2] - yp
         return tc, dis_x, dis_y
 
-    # inside: nearest of the 3 unclamped edge feet
-    feet_in = [foot(k, t_raw[k]) for k in range(3)]
-    d_in = [dx * dx + dy * dy for _, dx, dy in feet_in]
-    best01 = d_in[0] < d_in[1]
-    best = jnp.where(best01 & (d_in[0] < d_in[2]), 0,
-                     jnp.where(~best01 & (d_in[1] < d_in[2]), 1, 2))
+    feet = [foot(k, t_sel[k]) for k in range(3)]
+    # inside: nearest of the 3 (unclamped) edge feet; d equals the raw-foot
+    # distance there because t_sel == t_raw for inside pixels
+    d = [dx * dx + dy * dy for _, dx, dy in feet]
+    best01 = d[0] < d[1]
+    best = jnp.where(best01 & (d[0] < d[2]), 0,
+                     jnp.where(~best01 & (d[1] < d[2]), 1, 2))
 
     # outside: vertex-region selection with obtuse correction
     def corner_dot(k0, k2):
@@ -224,20 +226,18 @@ def _pair_geometry(fd, xp, yp, sigma, threshold):
             ),
         ),
     )
-    feet_out = [foot(k, t_clip[k]) for k in range(3)]
 
     sel = jnp.where(inside, best, v0sel)
 
-    def pick(items_in, items_out):
-        out = jnp.where(inside, items_in[2], items_out[2])
+    def pick(items):
+        out = items[2]
         for k in (1, 0):
-            out = jnp.where(sel == k, jnp.where(inside, items_in[k], items_out[k]), out)
+            out = jnp.where(sel == k, items[k], out)
         return out
 
-    dis_x = pick([f[1] for f in feet_in], [f[1] for f in feet_out])
-    dis_y = pick([f[2] for f in feet_in], [f[2] for f in feet_out])
-    tc = [pick([f[0][j] for f in feet_in], [f[0][j] for f in feet_out])
-          for j in range(3)]
+    dis_x = pick([f[1] for f in feet])
+    dis_y = pick([f[2] for f in feet])
+    tc = [pick([f[0][j] for f in feet]) for j in range(3)]
 
     dis = dis_x * dis_x + dis_y * dis_y
     sign = jnp.where(inside, 1.0, -1.0)
@@ -300,56 +300,68 @@ def _fwd_kernel(near_ref, far_ref, bbox_ref, data_ref, out_ref, *, S, PT, C,
     rzrange = 1.0 / (far - near)
     tile_ymin, tile_ymax = _tile_ybounds(t, PT, S)
 
-    logalpha0 = jnp.zeros((PT, 1), jnp.float32)
-    ssum0 = jnp.full((PT, 1), math.exp(eps / gamma), jnp.float32)
-    smax0 = jnp.full((PT, 1), eps, jnp.float32)
-    rgb0 = [jnp.full((PT, 1), bg[k] * math.exp(eps / gamma), jnp.float32)
-            for k in range(K)]
-
-    def work(i, carry):
-        logalpha, ssum, smax = carry[0], carry[-2], carry[-1]
-        rgb = carry[1:-2]
-        fd = _make_fd(data_ref, i * C, C)
-        g = _pair_geometry(fd, xp, yp, sigma, threshold)
-
-        logalpha = logalpha + jnp.sum(g["log1m"], axis=-1, keepdims=True)
-
-        zp = g["zp"]
-        zvalid = (zp >= near) & (zp <= far)
-        rgb_valid = g["valid"] & zvalid
-        z_norm = (far - zp) * rzrange
-
-        z_masked = jnp.where(rgb_valid, z_norm, -jnp.inf)
-        new_max = jnp.maximum(smax, jnp.max(z_masked, -1, keepdims=True))
-        scale = jnp.exp((smax - new_max) / gamma)
-        wgt = jnp.where(rgb_valid, g["soft"], 0.0) * jnp.exp(
-            jnp.where(rgb_valid, (z_norm - new_max) / gamma, -jnp.inf))
-        ssum = ssum * scale + jnp.sum(wgt, -1, keepdims=True)
-
-        wc0, wc1, wc2 = g["wc"]
-        new_rgb = []
-        for k, rk in enumerate(rgb):
-            col = (wc0 * fd(_TEX + k) + wc1 * fd(_TEX + K + k)
-                   + wc2 * fd(_TEX + 2 * K + k))
-            new_rgb.append(rk * scale + jnp.sum(wgt * col, -1, keepdims=True))
-        return (logalpha, *new_rgb, ssum, new_max)
+    # Accumulators live in the out block and are updated under pl.when: a
+    # lax.cond with a carried tuple lowers to predicated execution of BOTH
+    # branches on Mosaic, which silently disabled the bbox culling (the
+    # forward ran at dense cost, 3x the properly-culled backward).
+    OUT = _out_cols(K)
+    pad0 = jnp.zeros((PT, OUT - (K + 3)), jnp.float32)
+    out_ref[0] = jnp.concatenate(
+        [*(jnp.full((PT, 1), bg[k] * math.exp(eps / gamma), jnp.float32)
+           for k in range(K)),
+         jnp.zeros((PT, 1), jnp.float32),                        # log(1-a)
+         jnp.full((PT, 1), math.exp(eps / gamma), jnp.float32),  # ssum
+         jnp.full((PT, 1), eps, jnp.float32),                    # smax
+         pad0], -1)
 
     def body(i, carry):
         overlap = ((bbox_ref[b, i, 0] <= tile_ymax)
                    & (bbox_ref[b, i, 1] >= tile_ymin))
-        return jax.lax.cond(overlap, lambda c: work(i, c), lambda c: c, carry)
 
-    carry = jax.lax.fori_loop(
-        0, nchunks, body, (logalpha0, *rgb0, ssum0, smax0))
-    logalpha, ssum, smax = carry[0], carry[-2], carry[-1]
-    rgb = carry[1:-2]
+        @pl.when(overlap)
+        def _():
+            acc = out_ref[0]
+            rgb = [acc[:, k:k + 1] for k in range(K)]
+            logalpha = acc[:, K:K + 1]
+            ssum = acc[:, K + 1:K + 2]
+            smax = acc[:, K + 2:K + 3]
 
-    OUT = _out_cols(K)
-    rsum = 1.0 / ssum
-    out = jnp.concatenate(
-        [*(r * rsum for r in rgb), 1.0 - jnp.exp(logalpha),
-         ssum, smax, jnp.zeros((PT, OUT - (K + 3)), jnp.float32)], -1)
-    out_ref[0] = out
+            fd = _make_fd(data_ref, i * C, C)
+            g = _pair_geometry(fd, xp, yp, sigma, threshold)
+
+            logalpha = logalpha + jnp.sum(g["log1m"], axis=-1, keepdims=True)
+
+            zp = g["zp"]
+            zvalid = (zp >= near) & (zp <= far)
+            rgb_valid = g["valid"] & zvalid
+            z_norm = (far - zp) * rzrange
+
+            z_masked = jnp.where(rgb_valid, z_norm, -jnp.inf)
+            new_max = jnp.maximum(smax, jnp.max(z_masked, -1, keepdims=True))
+            scale = jnp.exp((smax - new_max) / gamma)
+            wgt = jnp.where(rgb_valid, g["soft"], 0.0) * jnp.exp(
+                jnp.where(rgb_valid, (z_norm - new_max) / gamma, -jnp.inf))
+            ssum = ssum * scale + jnp.sum(wgt, -1, keepdims=True)
+
+            wc0, wc1, wc2 = g["wc"]
+            new_rgb = []
+            for k, rk in enumerate(rgb):
+                col = (wc0 * fd(_TEX + k) + wc1 * fd(_TEX + K + k)
+                       + wc2 * fd(_TEX + 2 * K + k))
+                new_rgb.append(rk * scale
+                               + jnp.sum(wgt * col, -1, keepdims=True))
+            out_ref[0] = jnp.concatenate(
+                [*new_rgb, logalpha, ssum, new_max, pad0], -1)
+        return carry
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+    acc = out_ref[0]
+    rsum = 1.0 / acc[:, K + 1:K + 2]
+    out_ref[0] = jnp.concatenate(
+        [*(acc[:, k:k + 1] * rsum for k in range(K)),
+         1.0 - jnp.exp(acc[:, K:K + 1]),
+         acc[:, K + 1:K + 2], acc[:, K + 2:K + 3], pad0], -1)
 
 
 def _bwd_kernel(near_ref, far_ref, bbox_ref, data_ref, fwd_ref, gout_ref,
