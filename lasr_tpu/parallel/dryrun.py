@@ -1,0 +1,94 @@
+"""Multi-chip dry-run worker: jit the FULL training step over an
+n-device data-parallel mesh and run one step on tiny shapes.
+
+Invoked by `__graft_entry__.dryrun_multichip` in a subprocess that forces
+`JAX_PLATFORMS=cpu` + `--xla_force_host_platform_device_count=N` *before*
+jax is imported, so the result is independent of the host's TPU state
+(a libtpu mismatch on the host killed the in-process variant in round 1).
+
+Replaces the reference's DDP launch (ref:optimize.py:42-47) with SPMD
+sharding over a `data` mesh axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def run(n_devices: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lasr_tpu.config import LasrConfig
+    from lasr_tpu.data.video import gather_batch
+    from lasr_tpu.models.lasr import LasrModel
+    from lasr_tpu.parallel import data_mesh, put_sharded_ids, shard_step
+    from lasr_tpu.training.trainer import clip_and_guard
+
+    ndev = len(jax.devices())
+    if ndev < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, found {ndev} "
+            f"(platform={jax.default_backend()})")
+
+    img = 64
+    cfg = LasrConfig(dataname="spot3", img_size=img, subdivide=1,
+                     n_bones=3, n_hypo=2, batch_size=1,
+                     num_epochs=5, use_pallas=False, sigval=1e-3,
+                     ngpu=n_devices, checkpoint_dir="")
+    model = LasrModel(cfg)
+    params = model.init_params
+    optimizer = optax.adamw(1e-4)
+    opt_state = optimizer.init(params)
+
+    # fake per-pair arrays (shape [NP, 2, ...]) standing in for the video
+    b = 1
+    n2 = 2 * n_devices * b
+    r = np.random.RandomState(0)
+    mask = np.zeros((n2, img, img), np.float32)
+    mask[:, img // 4: 3 * img // 4, img // 4: 3 * img // 4] = 1.0
+    flat = {
+        "input_imgs": r.randn(n2, 3, img, img).astype(np.float32),
+        "imgs": r.rand(n2, 3, img, img).astype(np.float32),
+        "masks": mask,
+        "cams": np.tile(np.array([1.0, 0, 0, 1, 0, 0, 0], np.float32),
+                        (n2, 1)),
+        "depth_gt": np.full((n2,), 10.0, np.float32),
+        "flow": (r.randn(n2, 3, img, img) * 0.01).astype(np.float32),
+        "occ": np.full((n2, img, img), -1.0, np.float32),
+        "ddts_barrier": r.rand(n2, img, img).astype(np.float32),
+        "pp": np.zeros((n2, 2), np.float32),
+        "oriimg_shape": np.full((n2, 2), float(img), np.float32),
+    }
+    npairs = max(n_devices * b, 2)
+    dev_arrays = {}
+    for k, v in flat.items():
+        two = np.stack([v[: v.shape[0] // 2], v[v.shape[0] // 2:]], 1)
+        reps = [two] * ((npairs + len(two) - 1) // len(two))
+        dev_arrays[k] = jnp.asarray(np.concatenate(reps)[:npairs])
+    dev_arrays["oriimg_shape"] = dev_arrays["oriimg_shape"][:, 0]
+
+    def step(params, opt_state, dev_arrays, pair_ids, rng, epoch, iters):
+        batch = gather_batch(dev_arrays, pair_ids)
+        (loss, aux), grads = jax.value_and_grad(
+            model.loss_fn, has_aux=True)(params, batch, rng, epoch, iters)
+        grads, *_ = clip_and_guard(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    mesh = data_mesh(n_devices)
+    step_sharded = shard_step(step, mesh)
+    ids = put_sharded_ids(np.arange(n_devices * b) % npairs, mesh)
+    params, opt_state, loss = step_sharded(
+        params, opt_state, dev_arrays, ids, jax.random.PRNGKey(0),
+        jnp.asarray(0), jnp.asarray(0))
+    jax.block_until_ready(loss)
+    assert np.isfinite(float(loss)), "multichip dry run produced NaN"
+    print(f"dryrun_multichip({n_devices}): loss={float(loss):.4f} OK")
+
+
+if __name__ == "__main__":
+    import sys
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -304,6 +304,10 @@ class Trainer:
         (~3s for 57MB vs ~8s per-leaf on the tunneled TPU; the read must
         finish before the next epoch_scan call donates these buffers)."""
         leaves, treedef = jax.tree_util.tree_flatten(self.params)
+        # ravel_pytree promotes all leaves to one dtype; a non-f32 leaf
+        # would round-trip through float32 and silently corrupt.
+        bad = [l.dtype for l in leaves if l.dtype != jnp.float32]
+        assert not bad, f"non-float32 param leaves in snapshot path: {bad}"
         if self._ravel_fn is None:
             self._ravel_fn = jax.jit(
                 lambda p: jax.flatten_util.ravel_pytree(p)[0])
@@ -320,7 +324,13 @@ class Trainer:
         work."""
         host_params = self._snapshot_host()
         nscore = self.epoch_nscore.copy()
-        self._save_futures = [f for f in self._save_futures if not f.done()]
+        pending = []
+        for f in self._save_futures:
+            if f.done():
+                f.result()  # surface background write failures immediately
+            else:
+                pending.append(f)
+        self._save_futures = pending
         for label in labels:
             path = os.path.join(self.cfg.save_dir, f"pred_net_{label}.npz")
             self._save_futures.append(self._save_pool.submit(

@@ -154,9 +154,12 @@ def create_texture_image(textures: np.ndarray, texture_res: int = 16):
     wx = (w[..., 0] * R).astype(np.int32)
     wy = (w[..., 1] * R).astype(np.int32)
     lower = (w[..., 0] + w[..., 1]) * R - wx - wy <= 1    # kernel:63
-    ti = np.where(lower, wy * R + wx,
-                  (R - 1 - np.clip(wy, 0, R - 1)) * R
-                  + (R - 1 - np.clip(wx, 0, R - 1)))
+    # clamp before forming the flat index: w==1.0 exactly gives wx==R,
+    # which would wrap to row 1 col 0 (the ref CUDA kernel is OOB here)
+    wxc = np.clip(wx, 0, R - 1)
+    wyc = np.clip(wy, 0, R - 1)
+    ti = np.where(lower, wyc * R + wxc,
+                  (R - 1 - wyc) * R + (R - 1 - wxc))
     ti = np.clip(ti, 0, R * R - 1)
     image = np.ones((H, W, 3), np.float32)
     image[valid] = textures[fnc, ti][valid]
