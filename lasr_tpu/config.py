@@ -51,6 +51,12 @@ class LasrConfig:
     l1tex_wt: float = 1.0
     sigval: float = 1e-4
 
+    # encoder feature warmup (offline substitute for the reference's
+    # ImageNet-pretrained trunk, ref:net_blocks.py:294 pretrained=True):
+    # a short self-supervised phase that separates per-frame features
+    # before stage-0 optimization.  0 = off.
+    warmup_steps: int = 0
+
     # runtime
     n_data_workers: int = 1
     use_pallas: bool | None = None   # None = auto (TPU yes, CPU interpret off)

@@ -131,17 +131,6 @@ class CodePredictor(nn.Module):
                     depth=depth, ppoint=ppoint)
 
 
-def _truncated_normal(rng: np.random.RandomState, shape, std: float):
-    """N(0, std²) truncated to ±2σ (flax's truncated_normal semantics)."""
-    x = rng.standard_normal(shape)
-    for _ in range(8):
-        bad = np.abs(x) > 2.0
-        if not bad.any():
-            break
-        x[bad] = rng.standard_normal(int(bad.sum()))
-    return (x * std).astype(np.float32)
-
-
 def _host_init(shapes, seed: int) -> dict:
     """numpy initialization matching the flax module definitions above.
 
@@ -150,10 +139,13 @@ def _host_init(shapes, seed: int) -> dict:
     and ~90s on this host's XLA-CPU — for what is just RNG sampling.
     `shapes` comes from jax.eval_shape (tracing only, no compile); rules:
       * AffineNorm: scale -> ones, bias -> zeros;
-      * Dense / head kernels and the 4x4 enc_conv1 (Encoder's Conv_1):
-        N(0, 0.02) (ref:third_party/ext_nnutils/net_blocks.py:236-249);
-      * all other conv kernels: flax-default lecun (truncated) normal;
-      * every bias -> zeros.
+      * code_predictor heads: torch nn.Linear default U(±1/sqrt(nz_feat))
+        for weight and bias;
+      * fc-stack Dense + the 4x4 enc_conv1 (Encoder's Conv_1): N(0, 0.02)
+        (ref:third_party/ext_nnutils/net_blocks.py:236-249), zero bias;
+      * ResNet trunk convs: kaiming_normal(fan_out, relu) — torchvision's
+        unpretrained resnet18 init (the closest offline stand-in for the
+        reference's pretrained=True trunk).
     """
     rng = np.random.RandomState(seed & 0x7FFFFFFF)
 
@@ -161,20 +153,34 @@ def _host_init(shapes, seed: int) -> dict:
         names = [getattr(p, "key", str(p)) for p in path]
         last = names[-1]
         shape = tuple(leaf.shape)
+        root = names[0]                      # "encoder" | "code_predictor"
         if "AffineNorm" in names[-2]:
             fill = np.ones if last == "scale" else np.zeros
             return fill(shape, np.float32)
+        if root == "code_predictor":
+            # torch nn.Linear default: U(±1/sqrt(fan_in)) for weight AND
+            # bias (the reference heads are NOT net_init-ed,
+            # ref:net_blocks.py:424-436).  The random per-hypothesis bias
+            # gives each camera hypothesis a distinct base rotation that
+            # survives early feature collapse.
+            bound = 1.0 / math.sqrt(200.0)
+            return rng.uniform(-bound, bound, shape).astype(np.float32)
         if last == "bias":
             return np.zeros(shape, np.float32)
         assert last == "kernel", f"unknown param {names}"
-        root = names[0]                      # "encoder" | "code_predictor"
         mods = names[2:-1]                   # module chain under "params"
-        if root == "code_predictor" or mods[0] in ("Conv_1", "Dense_0",
-                                                   "Dense_1"):
+        if mods[0] in ("Conv_1", "Dense_0", "Dense_1"):
+            # net_init: N(0, 0.02) (ref:net_blocks.py:236-249)
             return (0.02 * rng.standard_normal(shape)).astype(np.float32)
-        fan_in = int(np.prod(shape[:-1]))
-        std = math.sqrt(1.0 / fan_in) / 0.87962566103423978
-        return _truncated_normal(rng, shape, std)
+        # ResNet trunk convs: torchvision's kaiming_normal(fan_out, relu)
+        # (the unpretrained torch init).  Variance-preserving through the
+        # ReLU stack — the previous lecun-normal decayed activation
+        # variance ~0.5x per layer, leaving near-identical features for
+        # different frames and letting the camera heads collapse to a
+        # static-camera minimum.  flax conv kernels are [kh, kw, cin, cout].
+        fan_out = shape[-1] * int(np.prod(shape[:-2]))
+        std = math.sqrt(2.0 / fan_out)
+        return (std * rng.standard_normal(shape)).astype(np.float32)
 
     return jax.tree_util.tree_map_with_path(init_leaf, shapes)
 

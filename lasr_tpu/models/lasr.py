@@ -471,6 +471,8 @@ class LasrModel:
                 return geometry.pinhole_project(cam, sg(pp_f), sg(scale_f))
             jp = to_screen(joints)[..., :2]                        # [2bH, K-1, 2]
             cp = to_screen(ctl_cam_local)[..., :2]
+            aux = {**aux, "ctl_proj": cp.reshape(n2, H, K - 1, 2),
+                   "skin": skin}                                   # [H, K-1, V]
             ddts = batch["ddts_barrier"][:, None].repeat(H, 1).reshape(n2 * H, S, S)
             bone_loc = 0.1 * grid_sample_border(ddts, jp).mean()
             ctl_loc = 0.1 * grid_sample_border(ddts, cp).mean()
@@ -487,6 +489,9 @@ class LasrModel:
         aux["mask_sub"] = mask_sub
         aux["flow_sub"] = flow_sub
         aux["tex_sub"] = tex_sub
+        # screen-space geometry for host-side vis (part render happens on the
+        # CPU backend in the trainer, ref:nnutils/mesh_net.py:368-370)
+        aux["verts_pre"] = raster_geom.reshape(n2, H, V, 3)
         return total, aux
 
     # ------------------------------------------------------------------

@@ -52,6 +52,17 @@ def _normalize_channels(feat, eps=1e-10):
     return feat / (norm + eps)
 
 
+def _truncated_normal(rng: np.random.RandomState, shape, std: float):
+    """N(0, std²) truncated to ±2σ (flax's truncated_normal semantics)."""
+    x = rng.standard_normal(shape)
+    for _ in range(8):
+        bad = np.abs(x) > 2.0
+        if not bad.any():
+            break
+        x[bad] = rng.standard_normal(int(bad.sum()))
+    return (x * std).astype(np.float32)
+
+
 class PerceptualLoss:
     def __init__(self, seed: int = 1234):
         self.net = AlexNetFeatures()
@@ -62,7 +73,6 @@ class PerceptualLoss:
         # host-side constants on the axon TPU backend.  Going through a
         # jitted net.init would also pay a full XLA compile of the init
         # program for plain RNG sampling; eval_shape is tracing-only.
-        from .encoder import _truncated_normal
         shapes = jax.eval_shape(lambda k: self.net.init(
             k, jnp.zeros((1, 64, 64, 3), jnp.float32)),
             jax.ShapeDtypeStruct((2,), jnp.uint32))

@@ -164,7 +164,10 @@ class Trainer:
             self.update_step = jax.jit(update_step)
         self._raw_step = update_step
 
-        IMAGE_KEYS = ("mask_pred", "flow_rd", "vis_mask", "texture_render")
+        IMAGE_KEYS = ["mask_pred", "flow_rd", "vis_mask", "texture_render",
+                      "verts_pre"]
+        if self.cfg.n_bones > 1:
+            IMAGE_KEYS += ["skin", "ctl_proj"]
 
         def epoch_scan(params, opt_state, dev_arrays, ids_all, epoch_seed,
                        epoch):
@@ -191,9 +194,16 @@ class Trainer:
                 params = optax.apply_updates(params, updates)
                 scal = {k: aux[k] for k in
                         ("total_loss", "mask_loss", "flow_rd_loss",
-                         "texture_loss", "triangle_loss", "cam_loss")
+                         "texture_loss", "triangle_loss", "cam_loss",
+                         "lmotion_loss", "arap_loss", "bone_loc_loss")
                         if k in aux}
                 scal["grads_finite"] = finite.astype(jnp.float32)
+                scal["grad_meanv_norm"] = gv
+                scal["grad_cam_norm"] = gc
+                # per-hypothesis sub-losses (ref:train_utils.py:335-339)
+                scal["mask_hypo"] = aux["mask_sub"].mean(0)      # [H]
+                scal["flow_hypo"] = aux["flow_sub"].mean(0)
+                scal["tex_hypo"] = aux["tex_sub"].mean(0)
                 nscore = jnp.where(i > 100, aux["current_nscore"], 0.0)
                 images = {k: jnp.where(i == 0, aux[k], images[k])
                           for k in IMAGE_KEYS}
@@ -201,12 +211,17 @@ class Trainer:
 
             n2 = 2 * ids_all.shape[1]
             H, S = self.cfg.n_hypo, self.cfg.img_size
+            K, V = self.cfg.n_bones, self.model.num_verts
             images0 = {
                 "mask_pred": jnp.zeros((n2, H, S, S)),
                 "flow_rd": jnp.zeros((n2, H, S, S, 2)),
                 "vis_mask": jnp.zeros((n2, H, S, S)),
                 "texture_render": jnp.zeros((n2, H, 3, S, S)),
+                "verts_pre": jnp.zeros((n2, H, V, 3)),
             }
+            if K > 1:
+                images0["skin"] = jnp.zeros((H, K - 1, V))
+                images0["ctl_proj"] = jnp.zeros((n2, H, K - 1, 2))
             iters = jnp.arange(ids_all.shape[0])
             (params, opt_state, images), (scals, nscores) = jax.lax.scan(
                 step, (params, opt_state, images0), (ids_all, iters))
@@ -217,6 +232,75 @@ class Trainer:
             self.epoch_scan = shard_epoch_scan(epoch_scan, self.mesh)
         else:
             self.epoch_scan = jax.jit(epoch_scan, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def warmup_encoder(self):
+        """Self-supervised encoder feature warmup.
+
+        Offline substitute for the reference's ImageNet-pretrained ResNet18
+        trunk (ref:net_blocks.py:294): regress each unique frame's feature
+        onto a fixed smooth-in-time random embedding, so different frames map
+        to well-separated features before stage-0 starts.  Without separated
+        features the per-frame camera heads cannot express distinct
+        rotations and the optimization collapses into the static-camera
+        minimum.  Runs as one jitted scan; costs seconds."""
+        cfg = self.cfg
+        if cfg.warmup_steps <= 0:
+            return
+        # unique frames from the pair arrays
+        ids = np.stack([self.dataset.meta["id0"],
+                        self.dataset.meta["id1"]], 1)
+        seen = {}
+        for p in range(ids.shape[0]):
+            for s in range(2):
+                seen.setdefault(int(ids[p, s]), (p, s))
+        order = sorted(seen)
+        host_imgs = np.asarray(self.dataset.device_arrays()["input_imgs"])
+        frames = np.stack([host_imgs[seen[f][0], seen[f][1]] for f in order])
+        nf = len(order)
+
+        # smooth random targets: random mixing of a low-frequency Fourier
+        # basis in frame index, scaled to the feature norm at init (~8)
+        rng = np.random.RandomState(cfg.seed + 7)
+        m = min(8, max(2, nf // 2 + 1))
+        t = np.arange(nf) / max(nf, 1)
+        basis = np.concatenate(
+            [np.stack([np.sin(2 * np.pi * k * t),
+                       np.cos(2 * np.pi * k * t)], 1) for k in
+             range(1, m + 1)], 1)                       # [nf, 2m]
+        mix = rng.standard_normal((basis.shape[1], cfg.nz_feat))
+        targets = basis @ mix
+        targets *= 8.0 / np.maximum(
+            np.linalg.norm(targets, axis=1, keepdims=True), 1e-6)
+
+        enc = self.model.encoder
+        opt = optax.adam(1e-4)
+        imgs_d = jnp.asarray(frames.transpose(0, 2, 3, 1))
+        tgt_d = jnp.asarray(targets.astype(np.float32))
+
+        def warmup_scan(enc_params, imgs, tgt, n_steps):
+            opt_state = opt.init(enc_params)
+
+            def step(carry, _):
+                p, s = carry
+                def loss_fn(p):
+                    feat = enc.apply(p, imgs)
+                    return ((feat - tgt) ** 2).mean()
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                up, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, up), s), loss
+            (p, _), losses = jax.lax.scan(step, (enc_params, opt_state),
+                                          None, length=n_steps)
+            return p, losses
+
+        t0 = time.time()
+        new_enc, losses = jax.jit(warmup_scan, static_argnums=3)(
+            self.params["encoder"], imgs_d, tgt_d, cfg.warmup_steps)
+        losses = np.asarray(losses)
+        self.params["encoder"] = new_enc
+        print(f"encoder warmup: {cfg.warmup_steps} steps in "
+              f"{time.time() - t0:.1f}s, loss {losses[0]:.3f} -> "
+              f"{losses[-1]:.3f}")
 
     # ------------------------------------------------------------------
     def reinit_bones(self):
@@ -252,6 +336,8 @@ class Trainer:
         total_steps = 0
         self.save("0")
 
+        if not cfg.model_path:
+            self.warmup_encoder()     # no-op unless cfg.warmup_steps > 0
         for epoch in range(cfg.num_epochs):
             if epoch == 0:
                 self.reinit_bones()
@@ -281,10 +367,19 @@ class Trainer:
 
             scals = jax.tree.map(np.asarray, scals)
             if writer is not None:
+                # every step, per-hypothesis detail included — host-side
+                # numpy, cost is negligible (ref:train_utils.py:330-344)
                 for k, v in scals.items():
-                    for j in range(0, len(v), 20):
-                        writer.add_scalar(f"train/{k}", float(v[j]),
-                                          total_steps + 1 + j)
+                    if v.ndim == 2:            # [steps, H] per-hypo values
+                        for h in range(v.shape[1]):
+                            for j in range(len(v)):
+                                writer.add_scalar(f"train/{k}_{h}",
+                                                  float(v[j, h]),
+                                                  total_steps + 1 + j)
+                    else:
+                        for j in range(len(v)):
+                            writer.add_scalar(f"train/{k}", float(v[j]),
+                                              total_steps + 1 + j)
             total_steps += len(sched)
             if verbose:
                 dt = time.time() - t0
@@ -349,15 +444,29 @@ class Trainer:
             return None
 
     def _log_images(self, writer, images, ids, optim_idx, epoch):
-        """TensorBoard image panels (ref:nnutils/train_utils.py:301-329)."""
+        """TensorBoard image panels (ref:nnutils/train_utils.py:301-329):
+        mask, flow, texture with projected control points, and the
+        part-segmentation render (skin-colored mesh, rasterized host-side on
+        the CPU backend — vis only, ref:nnutils/mesh_net.py:368-370)."""
         from ..data.flowvis import flow_to_image
         try:
             mask_pred = np.asarray(images["mask_pred"])[0, optim_idx]
             writer.add_image("train/mask", (255 * mask_pred).astype(np.uint8),
                              epoch, dataformats="HW")
             tex = np.asarray(images["texture_render"])[0, optim_idx]
-            writer.add_image("train/texture", (255 * tex).astype(np.uint8),
-                             epoch, dataformats="CHW")
+            tex_img = (255 * tex).astype(np.uint8).transpose(1, 2, 0).copy()
+            if "ctl_proj" in images:
+                import cv2
+                from ..utils.colormap import label_colormap
+                S = tex_img.shape[0]
+                cp = np.asarray(images["ctl_proj"])[0, optim_idx]   # [K-1, 2]
+                colors = label_colormap()
+                for k in range(cp.shape[0]):
+                    center = (S // 2 + S // 2 * cp[k]).astype(int)
+                    cv2.circle(tex_img, tuple(center), 3,
+                               colors[k % len(colors)].tolist(), 3)
+            writer.add_image("train/texture", tex_img, epoch,
+                             dataformats="HWC")
             vm = np.asarray(images["vis_mask"])[0, optim_idx].astype(bool)
             fr = np.asarray(images["flow_rd"])[0, optim_idx]
             fr = fr * vm[..., None]
@@ -365,5 +474,36 @@ class Trainer:
                              flow_to_image(np.concatenate(
                                  [fr, vm[..., None]], -1)).transpose(2, 0, 1),
                              epoch, dataformats="CHW")
+            if "skin" in images:
+                part = self._part_render(
+                    np.asarray(images["verts_pre"])[0, optim_idx],
+                    np.asarray(images["skin"])[optim_idx])
+                if part is not None:
+                    writer.add_image("train/part", part, epoch,
+                                     dataformats="HWC")
         except Exception as e:          # vis must never kill a run
             print(f"image logging failed: {e}")
+
+    def _part_render(self, verts_pre, skin):
+        """Rasterize the part-colored mesh on the host CPU backend.
+
+        verts_pre [V, 3] screen-space; skin [K-1, V] -> [S, S, 3] uint8."""
+        from ..ops.rasterize import RasterizeConfig, soft_rasterize
+        from ..utils.colormap import label_colormap
+        colors = label_colormap()[: skin.shape[0]].astype(np.float32)
+        vcol = (skin[..., None] * colors[:, None]).sum(0) / 256.0   # [V, 3]
+        faces = self.model.faces
+        fv = verts_pre[faces]                                       # [F, 3, 3]
+        ft = vcol[faces]
+        z = verts_pre[:, 2]
+        near = float(z.min() - (z.max() - z.min()) / 2) - 1e-3
+        far = float(z.max() + (z.max() - z.min()) / 2) + 1e-3
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            out = soft_rasterize(
+                jnp.asarray(fv[None]), jnp.asarray(ft[None]),
+                RasterizeConfig(image_size=self.cfg.img_size, sigma=1e-4,
+                                gamma=1e-4),
+                jnp.asarray([near]), jnp.asarray([far]), force_ref=True)
+            rgb = np.asarray(out)[0, :3]
+        return (255 * np.clip(rgb, 0, 1)).astype(np.uint8).transpose(1, 2, 0)

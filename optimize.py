@@ -54,6 +54,9 @@ flags.DEFINE_float("rscale", 1.0, "scale noise variance")
 flags.DEFINE_float("l1tex_wt", 1.0, "weight of L1 texture loss")
 flags.DEFINE_float("sigval", 1e-4, "rasterizer blur sigma")
 flags.DEFINE_integer("seed", 0, "rng seed")
+flags.DEFINE_integer("warmup_steps", 0,
+                     "encoder feature-warmup steps before stage optimization "
+                     "(offline substitute for an ImageNet-pretrained trunk)")
 flags.DEFINE_integer("local_rank", 0, "ignored (single-process SPMD)")
 flags.DEFINE_string("profile_dir", "", "capture a jax.profiler trace of the "
                     "first epoch into this directory")
@@ -90,6 +93,7 @@ def config_from_flags() -> LasrConfig:
         l1tex_wt=FLAGS.l1tex_wt,
         sigval=FLAGS.sigval,
         seed=FLAGS.seed,
+        warmup_steps=FLAGS.warmup_steps,
     )
 
 

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--n_samples", type=int, default=10000)
     ap.add_argument("--flip_gt_yz", type=int, default=1,
                     help="syn-* sequences store GT with flipped y/z")
+    ap.add_argument("--remesh", type=int, default=1,
+                    help="watertight-remesh predictions before sampling "
+                         "(ref:scripts/eval_mesh.py:102-105 runs Manifold)")
     args = ap.parse_args()
 
     preds = sorted(glob.glob(os.path.join(args.testdir, "pred*.ply")),
@@ -46,6 +49,13 @@ def main():
             continue
         pv, pf, _ = read_ply(p)
         gv, gf, _, _, _ = load_obj(gt_path)
+        if args.remesh:
+            # watertight remesh only — no simplification (the reference runs
+            # `manifold` but not `simplify` here)
+            from lasr_tpu.utils.remesh import remesh
+            pv, pf = remesh(np.asarray(pv, np.float32),
+                            np.asarray(pf), target_faces=1 << 20)
+            pv, pf = np.asarray(pv), np.asarray(pf)
 
         campath = os.path.join(args.testdir, f"cam{i}.txt")
         if os.path.exists(campath):

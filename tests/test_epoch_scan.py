@@ -24,6 +24,7 @@ def cfg_for(tmp_path, **kw):
     return LasrConfig(**base)
 
 
+@pytest.mark.slow
 def test_epoch_scan_runs(tmp_path):
     os.chdir(REPO)
     tr = Trainer(cfg_for(tmp_path))
@@ -43,6 +44,7 @@ def test_epoch_scan_runs(tmp_path):
     assert float(jnp.abs(images["texture_render"]).max()) > 0
 
 
+@pytest.mark.slow
 def test_epoch_scan_sharded(tmp_path):
     os.chdir(REPO)
     assert jax.device_count() >= 2

@@ -42,6 +42,7 @@ CONFIGS = {
 
 
 @pytest.mark.parametrize("name", list(CONFIGS))
+@pytest.mark.slow
 def test_energy_finite(name):
     cfg = LasrConfig(img_size=S, subdivide=1, num_epochs=10, use_pallas=False,
                      sigval=1e-3, **CONFIGS[name])

@@ -38,6 +38,7 @@ def test_pallas_matches_ref_forward(cfg):
 
 
 @pytest.mark.parametrize("cfg", CFGS, ids=["soft", "sharp-whitebg"])
+@pytest.mark.slow
 def test_pallas_matches_ref_grads(cfg):
     fv, tex = random_mesh_scene(jax.random.PRNGKey(1))
     near, far = 5.0, 15.0
@@ -84,6 +85,7 @@ def test_pallas_per_image_near_far():
 
 
 @pytest.mark.parametrize("K", [2, 9], ids=["K2", "K9"])
+@pytest.mark.slow
 def test_pallas_kchannel_forward_and_grads(K):
     # K-channel textures (the merged flow+texture model render uses K=9
     # with per-channel backgrounds)

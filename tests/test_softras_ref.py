@@ -139,6 +139,7 @@ def _fd_check(f, x, g_analytic, idxs, h=1e-6, rtol=5e-3, atol=1e-7):
         assert np.isclose(fd, ga, rtol=rtol, atol=atol), (idx, float(fd), float(ga))
 
 
+@pytest.mark.slow
 def test_grad_alpha_wrt_xy_finite_diff():
     faces, tex = tri_scene()
     rng = np.random.RandomState(0)
@@ -155,6 +156,7 @@ def test_grad_alpha_wrt_xy_finite_diff():
               [np.ravel_multi_index(i, faces.shape) for i in idxs])
 
 
+@pytest.mark.slow
 def test_grad_rgb_wrt_z_and_tex_finite_diff():
     faces, tex = tri_scene()
     rng = np.random.RandomState(1)

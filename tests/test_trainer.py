@@ -51,6 +51,7 @@ def test_dataset_loads():
     assert batch["imgs"].shape == (4, 3, 64, 64)
 
 
+@pytest.mark.slow
 def test_two_steps_reduce_nothing_nan(tmp_path):
     os.chdir(REPO)
     cfg = small_cfg(tmp_path)
@@ -70,6 +71,7 @@ def test_two_steps_reduce_nothing_nan(tmp_path):
     assert nscore.shape == (2,)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_surgery(tmp_path):
     os.chdir(REPO)
     cfg = small_cfg(tmp_path, n_bones=3, n_hypo=2)
@@ -101,6 +103,7 @@ def test_checkpoint_roundtrip_and_surgery(tmp_path):
     assert np.isfinite(float(scalars["total_loss"]))
 
 
+@pytest.mark.slow
 def test_data_parallel_step(tmp_path):
     os.chdir(REPO)
     assert jax.device_count() >= 2

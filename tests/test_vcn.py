@@ -13,6 +13,9 @@ import types
 import numpy as np
 import pytest
 
+# torch-parity tests are integration-weight
+pytestmark = pytest.mark.slow
+
 REFERENCE = "/root/reference/third_party"
 
 
