@@ -57,6 +57,10 @@ class LasrConfig:
     # before stage-0 optimization.  0 = off.
     warmup_steps: int = 0
 
+    # directory of converted pretrained weights (scripts/convert_weights.py):
+    # encoder.npz overlays the ResNet trunk, alexnet.npz the perceptual net.
+    pretrained_dir: str = ""
+
     # runtime
     n_data_workers: int = 1
     use_pallas: bool | None = None   # None = auto (TPU yes, CPU interpret off)

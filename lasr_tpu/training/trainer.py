@@ -98,6 +98,8 @@ class Trainer:
         else:
             self.model = LasrModel(cfg)
         self.params = self.model.init_params
+        if cfg.pretrained_dir:
+            self._load_pretrained(cfg.pretrained_dir)
         if patch is not None:
             self.params = ckpt.apply_patch(self.params, patch)
 
@@ -232,6 +234,27 @@ class Trainer:
             self.epoch_scan = shard_epoch_scan(epoch_scan, self.mesh)
         else:
             self.epoch_scan = jax.jit(epoch_scan, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def _load_pretrained(self, directory: str):
+        """Overlay converted pretrained weights (scripts/convert_weights.py):
+        encoder.npz (ResNet18 trunk, ref:net_blocks.py:294 pretrained=True)
+        onto params['encoder'], alexnet.npz into the perceptual loss
+        (ref:nnutils/train_utils.py:121)."""
+        from ..models import torch_convert as tc
+        enc_path = os.path.join(directory, "encoder.npz")
+        if os.path.exists(enc_path):
+            tree = tc.encoder_flat_to_tree(np.load(enc_path))
+            self.params["encoder"] = tc.apply_encoder_weights(
+                self.params["encoder"], tree)
+            print(f"loaded pretrained encoder trunk from {enc_path}")
+        alex_path = os.path.join(directory, "alexnet.npz")
+        if os.path.exists(alex_path):
+            self.model.perceptual.load_torch_weights(alex_path)
+            print(f"loaded pretrained perceptual net from {alex_path}")
+        if not (os.path.exists(enc_path) or os.path.exists(alex_path)):
+            raise FileNotFoundError(
+                f"--pretrained_dir {directory}: no encoder.npz or alexnet.npz")
 
     # ------------------------------------------------------------------
     def warmup_encoder(self):

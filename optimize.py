@@ -57,6 +57,9 @@ flags.DEFINE_integer("seed", 0, "rng seed")
 flags.DEFINE_integer("warmup_steps", 0,
                      "encoder feature-warmup steps before stage optimization "
                      "(offline substitute for an ImageNet-pretrained trunk)")
+flags.DEFINE_string("pretrained_dir", "",
+                    "directory of converted pretrained weights "
+                    "(scripts/convert_weights.py: encoder.npz, alexnet.npz)")
 flags.DEFINE_integer("local_rank", 0, "ignored (single-process SPMD)")
 flags.DEFINE_string("profile_dir", "", "capture a jax.profiler trace of the "
                     "first epoch into this directory")
@@ -94,6 +97,7 @@ def config_from_flags() -> LasrConfig:
         sigval=FLAGS.sigval,
         seed=FLAGS.seed,
         warmup_steps=FLAGS.warmup_steps,
+        pretrained_dir=FLAGS.pretrained_dir,
     )
 
 
