@@ -429,7 +429,15 @@ class Trainer:
         if self._ravel_fn is None:
             self._ravel_fn = jax.jit(
                 lambda p: jax.flatten_util.ravel_pytree(p)[0])
-        flat = np.asarray(self._ravel_fn(self.params))
+        flat_dev = self._ravel_fn(self.params)
+        # chunked device->host read: one monolithic ~57MB transfer can wedge
+        # a tunneled TPU transport indefinitely (observed on the axon
+        # backend); ≤8MB chunks transfer reliably and cost the same total
+        CH = 2_000_000
+        n = flat_dev.shape[0]
+        flat = np.concatenate([np.asarray(flat_dev[a:a + CH])
+                               for a in range(0, n, CH)]) if n > CH \
+            else np.asarray(flat_dev)
         sizes = np.cumsum([l.size for l in leaves])[:-1]
         host_leaves = [s.reshape(l.shape).astype(l.dtype) for s, l in
                        zip(np.split(flat, sizes), leaves)]
@@ -473,16 +481,21 @@ class Trainer:
         the CPU backend — vis only, ref:nnutils/mesh_net.py:368-370)."""
         from ..data.flowvis import flow_to_image
         try:
-            mask_pred = np.asarray(images["mask_pred"])[0, optim_idx]
+            # slice on device, transfer only the selected panel: full-array
+            # reads are 4-13MB each and large transfers can wedge the
+            # tunneled TPU transport (see _snapshot_host)
+            images = {k: v[0, optim_idx] if k not in ("skin",)
+                      else v[optim_idx] for k, v in images.items()}
+            mask_pred = np.asarray(images["mask_pred"])
             writer.add_image("train/mask", (255 * mask_pred).astype(np.uint8),
                              epoch, dataformats="HW")
-            tex = np.asarray(images["texture_render"])[0, optim_idx]
+            tex = np.asarray(images["texture_render"])
             tex_img = (255 * tex).astype(np.uint8).transpose(1, 2, 0).copy()
             if "ctl_proj" in images:
                 import cv2
                 from ..utils.colormap import label_colormap
                 S = tex_img.shape[0]
-                cp = np.asarray(images["ctl_proj"])[0, optim_idx]   # [K-1, 2]
+                cp = np.asarray(images["ctl_proj"])                 # [K-1, 2]
                 colors = label_colormap()
                 for k in range(cp.shape[0]):
                     center = (S // 2 + S // 2 * cp[k]).astype(int)
@@ -490,8 +503,8 @@ class Trainer:
                                colors[k % len(colors)].tolist(), 3)
             writer.add_image("train/texture", tex_img, epoch,
                              dataformats="HWC")
-            vm = np.asarray(images["vis_mask"])[0, optim_idx].astype(bool)
-            fr = np.asarray(images["flow_rd"])[0, optim_idx]
+            vm = np.asarray(images["vis_mask"]).astype(bool)
+            fr = np.asarray(images["flow_rd"])
             fr = fr * vm[..., None]
             writer.add_image("train/flowrd",
                              flow_to_image(np.concatenate(
@@ -499,8 +512,8 @@ class Trainer:
                              epoch, dataformats="CHW")
             if "skin" in images:
                 part = self._part_render(
-                    np.asarray(images["verts_pre"])[0, optim_idx],
-                    np.asarray(images["skin"])[optim_idx])
+                    np.asarray(images["verts_pre"]),
+                    np.asarray(images["skin"]))
                 if part is not None:
                     writer.add_image("train/part", part, epoch,
                                      dataformats="HWC")
