@@ -6,11 +6,23 @@ from __future__ import annotations
 
 import glob
 import os
-
-import os
+import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax
+
+# Extraction is an offline few-seconds-of-compute inference pass; it runs on
+# the host CPU backend by default (pass --device tpu to opt in).  Training
+# (optimize.py) keeps the accelerator; a per-frame inference program gains
+# nothing from it and a flaky tunneled transport can stall a whole
+# extract -> eval pipeline.
+if "--device" in sys.argv:
+    _dev = sys.argv[sys.argv.index("--device") + 1]
+else:
+    _dev = next((a.split("=", 1)[1] for a in sys.argv
+                 if a.startswith("--device=")), "cpu")
+if _dev == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -36,6 +48,7 @@ flags.DEFINE_integer("n_hypo", 1, "hypotheses")
 flags.DEFINE_boolean("symmetric", False, "symmetric parametrization")
 flags.DEFINE_string("n_faces", "1280", "faces")
 flags.DEFINE_string("opt_tex", "yes", "texture")
+flags.DEFINE_string("device", "cpu", "jax backend for inference: cpu | tpu")
 FLAGS = flags.FLAGS
 
 CITYLABS = None

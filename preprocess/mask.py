@@ -6,9 +6,13 @@ JPEGImages/Annotations.  PointRend weights require a network download the
 reference performs at run time; this port accepts any per-frame mask source:
 
   * --masksrc dir=<path>: precomputed masks (any instance segmenter, one png
-    per frame) — the recommended path;
-  * --masksrc grabcut: a weak classical baseline (center-prior GrabCut) for
-    quick experiments without a segmenter.
+    per frame);
+  * --masksrc propagate: the recommended weights-free path — GrabCut on the
+    first frame (optionally seeded with --init_rect), then classical video
+    object segmentation: DIS optical flow warps each mask forward and a
+    mask-initialized GrabCut refines it against the new frame;
+  * --masksrc grabcut: independent center-prior GrabCut per frame (weak
+    baseline).
 
 Frames whose mask has fewer than 1000 pixels are skipped and the survivors
 renumbered, as in the reference.
@@ -26,21 +30,73 @@ import cv2
 import numpy as np
 
 
-def grabcut_mask(img: np.ndarray) -> np.ndarray:
+def _largest_component(mask: np.ndarray) -> np.ndarray:
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(
+        mask.astype(np.uint8), connectivity=8)
+    if n <= 1:
+        return mask.astype(np.uint8)
+    best = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
+    return (labels == best).astype(np.uint8)
+
+
+def grabcut_mask(img: np.ndarray, rect=None) -> np.ndarray:
     h, w = img.shape[:2]
-    rect = (w // 8, h // 8, w * 3 // 4, h * 3 // 4)
+    if rect is None:
+        rect = (w // 8, h // 8, w * 3 // 4, h * 3 // 4)
     mask = np.zeros((h, w), np.uint8)
     bgd = np.zeros((1, 65), np.float64)
     fgd = np.zeros((1, 65), np.float64)
-    cv2.grabCut(img, mask, rect, bgd, fgd, 5, cv2.GC_INIT_WITH_RECT)
-    return ((mask == cv2.GC_FGD) | (mask == cv2.GC_PR_FGD)).astype(np.uint8)
+    cv2.grabCut(img, mask, tuple(rect), bgd, fgd, 5, cv2.GC_INIT_WITH_RECT)
+    out = ((mask == cv2.GC_FGD) | (mask == cv2.GC_PR_FGD)).astype(np.uint8)
+    return _largest_component(out)
+
+
+def propagate_masks(imgs: list, init_rect=None) -> list:
+    """Flow-propagated video object segmentation (weights-free PointRend
+    substitute): GrabCut-segment frame 0, then for each frame warp the
+    previous mask along DIS optical flow and refine with a mask-initialized
+    GrabCut trimap (sure-fg = eroded warp, sure-bg = outside the dilated
+    warp)."""
+    dis = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
+    k = lambda s: np.ones((s, s), np.uint8)
+    masks = [grabcut_mask(imgs[0], init_rect)]
+    for t in range(1, len(imgs)):
+        g0 = cv2.cvtColor(imgs[t - 1], cv2.COLOR_BGR2GRAY)
+        g1 = cv2.cvtColor(imgs[t], cv2.COLOR_BGR2GRAY)
+        bw = dis.calc(g1, g0, None)            # cur -> prev, pulls the mask
+        h, w = g1.shape
+        xx, yy = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        warped = cv2.remap(masks[-1].astype(np.float32),
+                           xx + bw[:, :, 0], yy + bw[:, :, 1],
+                           cv2.INTER_LINEAR) > 0.5
+        warped = warped.astype(np.uint8)
+        tri = np.full((h, w), cv2.GC_PR_BGD, np.uint8)
+        tri[cv2.dilate(warped, k(31)) > 0] = cv2.GC_PR_FGD
+        tri[cv2.erode(warped, k(15)) > 0] = cv2.GC_FGD
+        tri[cv2.dilate(warped, k(61)) == 0] = cv2.GC_BGD
+        bgd = np.zeros((1, 65), np.float64)
+        fgd = np.zeros((1, 65), np.float64)
+        try:
+            cv2.grabCut(imgs[t], tri, None, bgd, fgd, 3,
+                        cv2.GC_INIT_WITH_MASK)
+            cur = ((tri == cv2.GC_FGD) | (tri == cv2.GC_PR_FGD)).astype(np.uint8)
+        except cv2.error:                      # degenerate trimap: keep warp
+            cur = warped
+        if cur.sum() < 0.2 * max(masks[-1].sum(), 1):
+            cur = warped                        # refinement collapsed
+        masks.append(_largest_component(cur))
+    return masks
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("seqname")
-    ap.add_argument("--masksrc", default="grabcut",
-                    help="'grabcut' or 'dir=<path-to-mask-pngs>'")
+    ap.add_argument("--masksrc", default="propagate",
+                    help="'propagate', 'grabcut' or 'dir=<path-to-mask-pngs>'")
+    ap.add_argument("--init_rect", default=None,
+                    help="x,y,w,h GrabCut seed rectangle on frame 0 "
+                         "(propagate mode)")
     ap.add_argument("--outroot", default="database/DAVIS")
     args = ap.parse_args()
 
@@ -56,13 +112,22 @@ def main():
     if args.masksrc.startswith("dir="):
         mask_dir = args.masksrc[4:]
 
+    paths = sorted(glob.glob(f"{datadir}/*"))
+    prop_masks = None
+    if args.masksrc == "propagate":
+        rect = (tuple(int(v) for v in args.init_rect.split(","))
+                if args.init_rect else None)
+        prop_masks = propagate_masks([cv2.imread(p) for p in paths], rect)
+
     counter = 0
-    for path in sorted(glob.glob(f"{datadir}/*")):
+    for fi, path in enumerate(paths):
         img = cv2.imread(path)
         if mask_dir is not None:
             mpath = os.path.join(
                 mask_dir, os.path.basename(path).rsplit(".", 1)[0] + ".png")
             mask = (cv2.imread(mpath, 0) > 0).astype(np.uint8)
+        elif prop_masks is not None:
+            mask = prop_masks[fi]
         else:
             mask = grabcut_mask(img)
         if mask.sum() < 1000:

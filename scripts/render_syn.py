@@ -78,7 +78,15 @@ def main():
     ap.add_argument("--asset_dir", default="database/misc")
     args = ap.parse_args()
 
-    assert args.model == "spot", "only the spot asset ships with the repo"
+    # Models: 'spot' = rigid orbiting cow (ref:scripts/render_syn.py:70-74).
+    # 'dog' = articulated sequence; the reference loads per-frame animated
+    # meshes from the author's machine (ref:scripts/render_syn.py:83-88,
+    # dog_model_animation_%06d.obj — not distributable), so the in-repo
+    # equivalent procedurally articulates the spot asset: a lateral spine
+    # swing + traveling body wave + head bob, giving exact nonrigid GT
+    # meshes/flow for the full bone/LBS optimization benchmark (dog15.sh).
+    assert args.model in ("spot", "dog"), \
+        "only the spot asset ships with the repo (dog = articulated spot)"
     verts, faces, uv, face_uv, tex_img = obj_io.load_obj(
         os.path.join(args.asset_dir, "spot/spot_triangulated.obj"))
     # spot canonicalization (ref:scripts/render_syn.py:70-74)
@@ -86,6 +94,26 @@ def main():
     overts[:, 1] *= -1
     overts[:, 1] += 0.1
     overts /= 1.2
+
+    def articulate(v0: np.ndarray, phase: float) -> np.ndarray:
+        """Nonrigid pose at `phase` in [0, 1): spot's long axis is z
+        (tail z<0, head z>0), up is y, symmetry axis x."""
+        v = v0.copy()
+        s = (v[:, 2] - v0[:, 2].min()) / np.ptp(v0[:, 2])   # 0 tail -> 1 head
+        lever = (s - 0.5)
+        # lateral swing about y, strongest at head/tail, + traveling wave
+        ang = (0.8 * np.sin(2 * np.pi * phase) * lever
+               + 0.25 * np.sin(2 * np.pi * (s - 2 * phase)) * (0.3 + np.abs(lever)))
+        ca, sa = np.cos(ang), np.sin(ang)
+        x, z = v[:, 0].copy(), v[:, 2].copy()
+        v[:, 0] = ca * x + sa * z
+        v[:, 2] = -sa * x + ca * z
+        # head bob: pitch the front third up/down
+        bob = 0.3 * np.sin(2 * np.pi * phase + 1.3) * np.clip(s - 0.66, 0, None) / 0.34
+        y, z = v[:, 1].copy(), v[:, 2].copy()
+        v[:, 1] = np.cos(bob) * y - np.sin(bob) * z
+        v[:, 2] = np.sin(bob) * y + np.cos(bob) * z
+        return v.astype(np.float32)
     if tex_img is not None and face_uv is not None:
         face_tex = obj_io.bake_face_textures(uv, face_uv, tex_img, res=5)
     else:
@@ -104,6 +132,10 @@ def main():
     fv_gather = lambda v: v[faces]              # [F, 3, 3]
 
     for i in range(args.nframes):
+        if args.model == "dog":
+            frame_overts = articulate(overts, i / args.nframes)
+        else:
+            frame_overts = overts
         rotx = 0.0 if i == 0 else float(rng.rand())
         roty = 3 * 1.57 + args.alpha * 6.28 * i / args.nframes
         R = rodrigues([rotx, roty, 0.0])
@@ -114,7 +146,7 @@ def main():
                        np.float32)
         cam_list.append(cam)
 
-        vcam = overts @ R.T + T                  # column-convention R v + T
+        vcam = frame_overts @ R.T + T            # column-convention R v + T
         verts_cam_list.append(vcam)
 
         # perspective projection + z normalization (ref :171-175)
