@@ -73,7 +73,7 @@ def main(_):
                 or (seq.end_frame >= 0 and i >= seq.end_frame)):
             continue
         img, alp, img_black, pp = preprocess_image(ipath, cfg.img_size)
-        out = predictor.predict(img, alp, pp)
+        out = predictor.predict(img, alp, pp, frameid=i)
         print(f"frame {i}: focal {out['cam_pred'][0, 0]:.2f} "
               f"depth {out['depth']:.2f}")
 

@@ -57,6 +57,21 @@ class LasrConfig:
     # before stage-0 optimization.  0 = off.
     warmup_steps: int = 0
 
+    # per-frame learnable camera codes: a [n_frames, nz_feat] embedding
+    # added to the encoder features.  Guarantees well-separated per-frame
+    # features at init (what the reference gets from its pretrained trunk)
+    # and decouples per-frame camera optimization from the shared CNN —
+    # gradients can move one frame's camera without dragging the others.
+    frame_code: bool = False
+    frame_code_norm: float = 24.0
+
+    # stage-0 flow-loss ramp: epochs until the flow term reaches full
+    # weight (0 = off, reference behavior).  Early in stage 0 the flow
+    # residual is dominated by shape error and its gradient pulls camera
+    # rotations toward the static basin; the mask term ranks camera
+    # hypotheses correctly from the start (measured on spot3).
+    flow_rampup: int = 0
+
     # directory of converted pretrained weights (scripts/convert_weights.py):
     # encoder.npz overlays the ResNet trunk, alexnet.npz the perceptual net.
     pretrained_dir: str = ""

@@ -291,7 +291,10 @@ class VideoDataset:
         input_imgs = ((img.transpose(0, 1, 3, 4, 2) - IMAGENET_MEAN)
                       / IMAGENET_STD).transpose(0, 1, 4, 2, 3)
         shape = self.meta["shape"].astype(np.float32)   # [NP, 2] (w, h)
+        frameid = np.stack([self.meta["id0"], self.meta["id1"]],
+                           1).astype(np.int32)          # [NP, 2]
         return {
+            "frameid": frameid,
             "input_imgs": input_imgs,
             "imgs": img,
             "masks": a["mask"],

@@ -61,7 +61,8 @@ class LasrModel:
     def __init__(self, cfg: LasrConfig, seed: int | None = None,
                  mean_shape: np.ndarray | None = None,
                  faces: np.ndarray | None = None,
-                 tex_init: np.ndarray | None = None):
+                 tex_init: np.ndarray | None = None,
+                 n_frames: int | None = None):
         self.cfg = cfg
         # init-time randomness is all host numpy — construction must not
         # touch the accelerator (see create_nets)
@@ -122,6 +123,19 @@ class LasrModel:
             params["rest_ts"] = np.zeros((H, K - 1, 3), np.float32)
             params["ctl_ts"] = np.zeros((H, K - 1, 3), np.float32)
             params["log_ctl"] = np.zeros((H, K - 1, 3), np.float32)
+        if cfg.frame_code and n_frames is not None:
+            # per-frame camera codes: independent random directions with a
+            # large fixed norm, so each (frame, hypothesis) camera head
+            # starts at a near-independent rotation (the diversity the
+            # reference gets from pretrained per-frame features) and stays
+            # individually optimizable.  Seeded like warmup_encoder's
+            # targets for comparability.
+            code_rng = np.random.RandomState(cfg.seed + 7)
+            codes = code_rng.standard_normal(
+                (n_frames, cfg.nz_feat)).astype(np.float32)
+            codes *= cfg.frame_code_norm / np.maximum(
+                np.linalg.norm(codes, axis=1, keepdims=True), 1e-6)
+            params["frame_code"] = codes
         self.init_params = params
 
         # ---- rasterizer configs ----------------------------------------------
@@ -178,10 +192,16 @@ class LasrModel:
     # ------------------------------------------------------------------
     # camera / bone prediction
     # ------------------------------------------------------------------
-    def predict_codes(self, params, input_imgs):
-        """input_imgs [2b, 3, S, S] (ImageNet-normalized) -> raw codes."""
+    def predict_codes(self, params, input_imgs, frameid=None):
+        """input_imgs [2b, 3, S, S] (ImageNet-normalized) -> raw codes.
+
+        When per-frame camera codes are enabled (cfg.frame_code), the
+        learnable embedding for each frame id is added to the CNN features
+        before the heads."""
         feat = self.encoder.apply(params["encoder"],
                                   input_imgs.transpose(0, 2, 3, 1))
+        if frameid is not None and "frame_code" in params:
+            feat = feat + params["frame_code"][frameid]
         return self.code_predictor.apply(params["code_predictor"], feat)
 
     # ------------------------------------------------------------------
@@ -202,7 +222,8 @@ class LasrModel:
         masks = batch["masks"]           # [2b, S, S]
         imgs = batch["imgs"]             # [2b, 3, S, S]
 
-        codes = self.predict_codes(params, batch["input_imgs"])
+        codes = self.predict_codes(params, batch["input_imgs"],
+                                   batch.get("frameid"))
 
         # -- intrinsics fixup for the crop (ref :204-217)
         scale = cams[:, :1] * codes["scale"]                    # [2b, H]
@@ -367,7 +388,15 @@ class LasrModel:
         w_flow = w_flow / jnp.maximum(denom, 1e-12)[:, None, None, None]
         flow_sub = 0.5 * masked_mean(flow_err * w_flow, fmask, (2, 3))
         flow_sub = jnp.where(fmask.sum((2, 3)) == 0, 0.0, flow_sub)
-        total += flow_sub.mean()
+        # stage-0 flow ramp (cfg.flow_rampup > 0): early flow residuals are
+        # dominated by shape error and their camera gradient points toward
+        # the static basin; let the silhouette term drive the camera search
+        # first and phase the flow term in over the first epochs.
+        if cfg.flow_rampup > 0:
+            flow_w = jnp.clip(epoch / cfg.flow_rampup, 0.0, 1.0)
+        else:
+            flow_w = 1.0
+        total += flow_w * flow_sub.mean()
         aux["flow_rd_loss"] = flow_sub.mean()
 
         # 3) texture (ref :418-447)
@@ -480,7 +509,9 @@ class LasrModel:
             aux["bone_loc_loss"] = bone_loc + ctl_loc
 
         aux["total_loss"] = total
-        aux["current_nscore"] = (tex_sub.mean(0) + flow_sub.mean(0)
+        # hypothesis score uses the same flow weighting as the energy
+        # (ref:nnutils/mesh_net.py:545 with flow_w == 1)
+        aux["current_nscore"] = (tex_sub.mean(0) + flow_w * flow_sub.mean(0)
                                  + mask_sub.mean(0))               # [H]
         aux["mask_pred"] = mask_pred
         aux["flow_rd"] = flow_rd

@@ -96,12 +96,13 @@ class MeshPredictor:
         self._raster = {}
 
     # ------------------------------------------------------------------
-    def _predict_core(self, params, inp, cam_fl):
+    def _predict_core(self, params, inp, cam_fl, frameid):
         """Jitted geometry path: codes -> camera-frame meshes + bone geometry."""
         cfg = self.cfg
         model = self.model
         K = cfg.n_bones
-        codes = model.predict_codes(params, inp)
+        codes = model.predict_codes(
+            params, inp, frameid if "frame_code" in params else None)
         scale = codes["scale"][:, 0] * cam_fl                 # [1]
         depth = codes["depth"].at[:, 0].mul(cam_fl)           # [1, K]
         trans = codes["trans"]                                # [1, K, 2]
@@ -158,17 +159,21 @@ class MeshPredictor:
         return core
 
     # ------------------------------------------------------------------
-    def predict(self, img: np.ndarray, alp: float, pp: np.ndarray):
+    def predict(self, img: np.ndarray, alp: float, pp: np.ndarray,
+                frameid: int = 0):
         """img [3, S, S] in [0,1] -> dict of outputs (ref:predictor.py:183-353).
         The geometry path runs as one jitted call; rendering and mesh export
-        happen host-side."""
+        happen host-side.  `frameid` selects the per-frame camera code when
+        the checkpoint was trained with cfg.frame_code."""
         cfg = self.cfg
         params, K = self.params, cfg.n_bones
         from ..data.video import IMAGENET_MEAN, IMAGENET_STD
         inp = ((img.transpose(1, 2, 0) - IMAGENET_MEAN) / IMAGENET_STD
                ).transpose(2, 0, 1)[None]
+        nf = params["frame_code"].shape[0] if "frame_code" in params else 1
         core = jax.tree.map(np.asarray, self._core(
-            params, jnp.asarray(inp), jnp.asarray(1.0 / alp)))
+            params, jnp.asarray(inp), jnp.asarray(1.0 / alp),
+            jnp.asarray([min(frameid, nf - 1)], jnp.int32)))
 
         outputs = {
             "verts": core["verts"], "verts_vp2": core["verts_vp2"],

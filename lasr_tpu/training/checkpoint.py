@@ -130,6 +130,9 @@ def load_with_surgery(path: str, cfg: LasrConfig, remesh_fn=None):
     for key, val in flat.items():
         if key.startswith("encoder/"):
             patch.setdefault("__flat__", {})[key] = val
+    if "frame_code" in flat:
+        # per-frame camera codes carry across stages (camera continuity)
+        patch["frame_code"] = np.asarray(flat["frame_code"])
 
     depth_bias = flat[head("depth", "bias")]
     if depth_bias.shape[0] == cfg.n_bones:
@@ -213,7 +216,7 @@ def load_with_surgery_eval(path: str, cfg: LasrConfig):
                           if k.startswith(("encoder/", "code_predictor/"))}}
     patch["mean_v"] = np.asarray(flat["mean_v"])
     patch["tex"] = np.asarray(flat["tex"])
-    for k in ("ctl_rs", "rest_ts", "ctl_ts", "log_ctl"):
+    for k in ("ctl_rs", "rest_ts", "ctl_ts", "log_ctl", "frame_code"):
         if k in flat:
             patch[k] = np.asarray(flat[k])
     mean_shape = None if cfg.symmetric else flat["mean_v"][0]
@@ -263,5 +266,9 @@ def apply_patch(init_params, patch):
     params = traverse_util.unflatten_dict(flat_new)
     for key, val in patch.items():
         if key in params and params[key].shape == val.shape:
+            params[key] = val
+        elif key == "frame_code" and key not in params:
+            # eval-path models are built without a dataset (no n_frames);
+            # the trained per-frame codes install directly from the patch
             params[key] = val
     return params

@@ -88,15 +88,18 @@ class Trainer:
                            for k, v in self.dataset.device_arrays().items()}
 
         # model construction, with checkpoint surgery for stage transitions
+        n_frames = int(max(self.dataset.meta["id0"].max(),
+                           self.dataset.meta["id1"].max())) + 1
         patch = None
         if cfg.model_path:
             mean_shape, faces, patch = ckpt.load_with_surgery(cfg.model_path, cfg)
             if not cfg.symmetric:
-                self.model = LasrModel(cfg, mean_shape=mean_shape, faces=faces)
+                self.model = LasrModel(cfg, mean_shape=mean_shape, faces=faces,
+                                       n_frames=n_frames)
             else:
-                self.model = LasrModel(cfg)
+                self.model = LasrModel(cfg, n_frames=n_frames)
         else:
-            self.model = LasrModel(cfg)
+            self.model = LasrModel(cfg, n_frames=n_frames)
         self.params = self.model.init_params
         if cfg.pretrained_dir:
             self._load_pretrained(cfg.pretrained_dir)
@@ -282,18 +285,17 @@ class Trainer:
         frames = np.stack([host_imgs[seen[f][0], seen[f][1]] for f in order])
         nf = len(order)
 
-        # smooth random targets: random mixing of a low-frequency Fourier
-        # basis in frame index, scaled to the feature norm at init (~8)
+        # independent random targets with a large norm.  Rationale: with the
+        # reference's pretrained trunk, per-frame codes are far apart and
+        # LARGE relative to the quat head's bias (U(+-1/sqrt(nz))), so each
+        # (frame, hypothesis) starts at a near-independent uniform rotation
+        # — that initial camera diversity is what the 8-hypothesis selection
+        # needs to find the ~120 deg inter-frame motions of spot3.  Smooth
+        # low-norm targets (tried first) leave per-frame cameras correlated
+        # and the optimization plateaus ~85 deg relative-rotation error.
         rng = np.random.RandomState(cfg.seed + 7)
-        m = min(8, max(2, nf // 2 + 1))
-        t = np.arange(nf) / max(nf, 1)
-        basis = np.concatenate(
-            [np.stack([np.sin(2 * np.pi * k * t),
-                       np.cos(2 * np.pi * k * t)], 1) for k in
-             range(1, m + 1)], 1)                       # [nf, 2m]
-        mix = rng.standard_normal((basis.shape[1], cfg.nz_feat))
-        targets = basis @ mix
-        targets *= 8.0 / np.maximum(
+        targets = rng.standard_normal((nf, cfg.nz_feat))
+        targets *= 24.0 / np.maximum(
             np.linalg.norm(targets, axis=1, keepdims=True), 1e-6)
 
         enc = self.model.encoder
@@ -359,7 +361,7 @@ class Trainer:
         total_steps = 0
         self.save("0")
 
-        if not cfg.model_path:
+        if not cfg.model_path and not cfg.frame_code:
             self.warmup_encoder()     # no-op unless cfg.warmup_steps > 0
         for epoch in range(cfg.num_epochs):
             if epoch == 0:

@@ -60,6 +60,14 @@ flags.DEFINE_integer("warmup_steps", 0,
 flags.DEFINE_string("pretrained_dir", "",
                     "directory of converted pretrained weights "
                     "(scripts/convert_weights.py: encoder.npz, alexnet.npz)")
+flags.DEFINE_boolean("frame_code", False,
+                     "learnable per-frame camera codes added to the encoder "
+                     "features (offline substitute for pretrained per-frame "
+                     "feature diversity)")
+flags.DEFINE_float("frame_code_norm", 24.0, "init norm of per-frame codes")
+flags.DEFINE_integer("flow_rampup", 0,
+                     "epochs until the flow loss reaches full weight "
+                     "(0 = always full weight, reference behavior)")
 flags.DEFINE_integer("local_rank", 0, "ignored (single-process SPMD)")
 flags.DEFINE_string("profile_dir", "", "capture a jax.profiler trace of the "
                     "first epoch into this directory")
@@ -98,6 +106,9 @@ def config_from_flags() -> LasrConfig:
         seed=FLAGS.seed,
         warmup_steps=FLAGS.warmup_steps,
         pretrained_dir=FLAGS.pretrained_dir,
+        frame_code=FLAGS.frame_code,
+        frame_code_norm=FLAGS.frame_code_norm,
+        flow_rampup=FLAGS.flow_rampup,
     )
 
 

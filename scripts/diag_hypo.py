@@ -74,8 +74,10 @@ def main():
                    key=lambda p: (len(p), p))
 
     @jax.jit
-    def predict(p, x):
+    def predict(p, x, fid):
         feat = encoder.apply(p["encoder"], x.transpose(0, 2, 3, 1))
+        if "frame_code" in p:
+            feat = feat + p["frame_code"][fid]
         return code_predictor.apply(p["code_predictor"], feat)
     H = cfg.n_hypo
     pairs = [(i, j) for i in range(nf) for j in range(i + 1, nf)]
@@ -84,7 +86,7 @@ def main():
         label = re.search(r"pred_net_(.+)\.npz", path).group(1)
         flat, meta = ckpt.load_raw(path)
         params = ckpt._unflatten(flat)
-        codes = predict(params, frames)
+        codes = predict(params, frames, np.asarray(order, np.int32))
         M = np.asarray(codes["rotmat"])[:, :, 0]               # [nf, H, 3, 3]
         scores = np.asarray(meta["__epoch_nscore"])
 
