@@ -1,11 +1,19 @@
 """Benchmark entry point: prints ONE JSON line with the headline metric.
 
-Metric: end-to-end training throughput on the spot3 stage-0 workload (the
+Headline: end-to-end training throughput on the spot3 stage-0 workload (the
 heavy stage: 8 camera hypotheses, 21 bones, 256² rasterization, batch 1 —
 ref:scripts/spot3.sh).  Baseline: the reference runs scripts/spot3.sh
 (3000 steps total) in ~20 min on a Titan Xp (ref README.md:96)
 => 2.5 steps/s average; the stage-0 configuration dominates its cost.
 vs_baseline > 1 means faster than the reference.
+
+The "extra" field carries the secondary metrics BASELINE.json asks for:
+  * steady_ms_per_step — post-compile stage-0 step latency;
+  * raster_fwd_fps / raster_fwdbwd_fps — soft-rasterizer renders/s at
+    256 px, 1280 faces (one render = one mesh rasterized, forward only /
+    forward+backward through the custom VJP);
+  * compile_s — wall-clock of the first epoch-program dispatch (persistent
+    compile cache warm or cold, whichever state the machine is in).
 """
 
 from __future__ import annotations
@@ -30,6 +38,43 @@ os.chdir(REPO)
 BASELINE_STEPS_PER_SEC = 2.5
 
 
+def bench_rasterizer(image_size=256, n_faces=1280, batch=16, iters=5):
+    """Renders/s of the soft rasterizer alone (fwd and fwd+bwd)."""
+    from lasr_tpu.models.mesh import icosphere
+    from lasr_tpu.ops.rasterize import RasterizeConfig, soft_rasterize
+
+    cfg = RasterizeConfig(image_size=image_size, sigma=1e-4, gamma=1e-2)
+    r = np.random.RandomState(0)
+    verts = (r.randn(batch, 642, 3) * 0.5).astype(np.float32)
+    verts[:, :, 2] += 10.0
+    _, faces = icosphere(3)
+    faces = faces[:n_faces]
+    fv = jnp.asarray(verts[:, faces])                    # [B, F, 3, 3]
+    ft = jnp.asarray(r.rand(batch, len(faces), 3, 3).astype(np.float32))
+    near = jnp.full((batch,), 8.0)
+    far = jnp.full((batch,), 12.0)
+
+    fwd = jax.jit(lambda v, t: soft_rasterize(v, t, cfg, near, far))
+    bwd = jax.jit(jax.grad(
+        lambda v, t: soft_rasterize(v, t, cfg, near, far).sum(),
+        argnums=(0, 1)))
+
+    jax.block_until_ready(fwd(fv, ft))                   # compile
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(fv, ft)
+    jax.block_until_ready(out)
+    fwd_fps = batch * iters / (time.time() - t0)
+
+    jax.block_until_ready(bwd(fv, ft))
+    t0 = time.time()
+    for _ in range(iters):
+        g = bwd(fv, ft)
+    jax.block_until_ready(g)
+    bwd_fps = batch * iters / (time.time() - t0)
+    return fwd_fps, bwd_fps
+
+
 def main():
     from lasr_tpu.config import LasrConfig
     from lasr_tpu.training.trainer import Trainer
@@ -51,23 +96,36 @@ def main():
     n = 50
     ids_all = jnp.zeros((n, 1), jnp.int32)
     p, s = tr.params, tr.opt_state
-    # warmup / compile
+    t0 = time.time()
     p, s, *_ = tr.epoch_scan(p, s, tr.dev_arrays, ids_all,
-                             jnp.asarray(0, jnp.int32), jnp.asarray(0))
+                             jnp.asarray(0, jnp.int32), jnp.asarray(0),
+                             tr.knobs())
     jax.block_until_ready(p)
+    compile_s = time.time() - t0
 
     t0 = time.time()
     p, s, *_ = tr.epoch_scan(p, s, tr.dev_arrays, ids_all,
-                             jnp.asarray(1, jnp.int32), jnp.asarray(1))
+                             jnp.asarray(1, jnp.int32), jnp.asarray(1),
+                             tr.knobs())
     jax.block_until_ready(p)
     dt = time.time() - t0
     sps = n / dt
+
+    raster_fwd, raster_bwd = bench_rasterizer()
 
     print(json.dumps({
         "metric": "spot3_stage0_train_throughput",
         "value": round(sps, 3),
         "unit": "steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),
+        "extra": {
+            "steady_ms_per_step": round(1e3 / sps, 2),
+            "compile_s": round(compile_s, 1),
+            "raster_fwd_fps": round(raster_fwd, 1),
+            "raster_fwdbwd_fps": round(raster_bwd, 1),
+            "raster_image_size": 256,
+            "raster_faces": 1280,
+        },
     }))
 
 

@@ -40,6 +40,9 @@ class LasrConfig:
     symmetric: bool = True
     symmetric_loss: bool = True
     symmetric_texture: bool = True
+    # accepted for reference CLI parity but inert: the reference plumbs
+    # only_mean_sym into num_output without consuming it for LASR
+    # (ref:third_party/ext_nnutils/mesh_net.py:80-123)
     only_mean_sym: bool = False
     opt_tex: bool = True
     texture: bool = True
@@ -48,6 +51,9 @@ class LasrConfig:
     use_gtpose: bool = False
     noise: bool = True
     rscale: float = 1.0
+    # epoch-start pose-noise magnitude (ref:nnutils/mesh_net.py:222 uses
+    # 0.2); exposed as a runtime knob for annealing experiments
+    noise_base: float = 0.2
     l1tex_wt: float = 1.0
     sigval: float = 1e-4
 

@@ -207,8 +207,18 @@ class LasrModel:
     # ------------------------------------------------------------------
     # the energy
     # ------------------------------------------------------------------
-    def loss_fn(self, params, batch, rng, epoch, iters):
+    def loss_fn(self, params, batch, rng, epoch, iters, knobs=None):
+        """knobs: optional dict of TRACED scalar overrides for annealing
+        hyperparameters ("noise_base", "rscale", "flow_rampup").  Threading
+        them as runtime arguments (instead of baking cfg constants into the
+        HLO) lets every sweep configuration share one compiled epoch
+        program — a stage-0 recompile costs minutes on a tunneled TPU."""
         cfg = self.cfg
+        if knobs is None:
+            knobs = {}
+        noise_base = knobs.get("noise_base", cfg.noise_base)
+        rscale = knobs.get("rscale", cfg.rscale)
+        flow_rampup = knobs.get("flow_rampup", float(cfg.flow_rampup))
         H, K, S = cfg.n_hypo, cfg.n_bones, cfg.img_size
         n2 = batch["imgs"].shape[0]      # 2b
         b = n2 // 2
@@ -239,7 +249,7 @@ class LasrModel:
 
         # -- pose-noise annealing (ref :220-235)
         k_q, k_s = jax.random.split(rng)
-        decay = 0.2 * jnp.power(1e-4, iters / 100.0)
+        decay = noise_base * jnp.power(1e-4, iters / 100.0)
         apply_noise = (jnp.asarray(cfg.noise)
                        & (epoch > 0) & (iters < 100) & (iters > 1))
         nq = quat_ops.random_quat_wxyz(k_q, n2 * H * K)
@@ -247,7 +257,7 @@ class LasrModel:
             nq, jnp.full((n2 * H * K,), 1.0) * decay)
         noise_rot = quat_ops.quat_to_rotmat_wxyz(nq).reshape(n2, H, K, 3, 3)
         M = jnp.where(apply_noise, M @ noise_rot, M)
-        s_noise = jnp.exp(decay * jax.random.normal(k_s, scale.shape) * cfg.rscale)
+        s_noise = jnp.exp(decay * jax.random.normal(k_s, scale.shape) * rscale)
         scale = jnp.where(apply_noise, scale * s_noise, scale)
 
         # -- ground-truth camera override (ref :240-253)
@@ -388,14 +398,15 @@ class LasrModel:
         w_flow = w_flow / jnp.maximum(denom, 1e-12)[:, None, None, None]
         flow_sub = 0.5 * masked_mean(flow_err * w_flow, fmask, (2, 3))
         flow_sub = jnp.where(fmask.sum((2, 3)) == 0, 0.0, flow_sub)
-        # stage-0 flow ramp (cfg.flow_rampup > 0): early flow residuals are
+        # stage-0 flow ramp (flow_rampup > 0): early flow residuals are
         # dominated by shape error and their camera gradient points toward
         # the static basin; let the silhouette term drive the camera search
         # first and phase the flow term in over the first epochs.
-        if cfg.flow_rampup > 0:
-            flow_w = jnp.clip(epoch / cfg.flow_rampup, 0.0, 1.0)
-        else:
-            flow_w = 1.0
+        flow_w = jnp.where(
+            jnp.asarray(flow_rampup) > 0,
+            jnp.clip(epoch / jnp.maximum(jnp.asarray(flow_rampup, jnp.float32),
+                                         1e-6), 0.0, 1.0),
+            1.0)
         total += flow_w * flow_sub.mean()
         aux["flow_rd_loss"] = flow_sub.mean()
 

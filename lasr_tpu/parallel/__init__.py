@@ -27,14 +27,14 @@ def shard_step(step_fn, mesh: Mesh):
     """jit a training step with (params, opt_state) replicated and the
     pair-id batch sharded over `data`.
 
-    step_fn(params, opt_state, dev_arrays, pair_ids, rng, epoch, iters)
-    -> pytrees.
+    step_fn(params, opt_state, dev_arrays, pair_ids, rng, epoch, iters,
+    knobs) -> pytrees.
     """
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
     return jax.jit(
         step_fn,
-        in_shardings=(repl, repl, repl, shard, repl, repl, repl),
+        in_shardings=(repl, repl, repl, shard, repl, repl, repl, repl),
         out_shardings=None,
     )
 
@@ -55,12 +55,12 @@ def shard_epoch_scan(scan_fn, mesh: Mesh):
     """jit the scanned-epoch step: params/opt replicated, schedule sharded
     over `data` on its batch axis.
 
-    scan_fn(params, opt_state, dev_arrays, ids_all, key, epoch)."""
+    scan_fn(params, opt_state, dev_arrays, ids_all, key, epoch, knobs)."""
     repl = NamedSharding(mesh, P())
     sched = NamedSharding(mesh, P(None, "data"))
     return jax.jit(
         scan_fn,
-        in_shardings=(repl, repl, repl, sched, repl, repl),
+        in_shardings=(repl, repl, repl, sched, repl, repl, repl),
         out_shardings=None,
         donate_argnums=(0, 1),
     )

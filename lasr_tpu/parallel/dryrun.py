@@ -69,10 +69,12 @@ def run(n_devices: int) -> None:
         dev_arrays[k] = jnp.asarray(np.concatenate(reps)[:npairs])
     dev_arrays["oriimg_shape"] = dev_arrays["oriimg_shape"][:, 0]
 
-    def step(params, opt_state, dev_arrays, pair_ids, rng, epoch, iters):
+    def step(params, opt_state, dev_arrays, pair_ids, rng, epoch, iters,
+             knobs):
         batch = gather_batch(dev_arrays, pair_ids)
         (loss, aux), grads = jax.value_and_grad(
-            model.loss_fn, has_aux=True)(params, batch, rng, epoch, iters)
+            model.loss_fn, has_aux=True)(params, batch, rng, epoch, iters,
+                                         knobs)
         grads, *_ = clip_and_guard(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -81,9 +83,11 @@ def run(n_devices: int) -> None:
     mesh = data_mesh(n_devices)
     step_sharded = shard_step(step, mesh)
     ids = put_sharded_ids(np.arange(n_devices * b) % npairs, mesh)
+    knobs = {"noise_base": jnp.asarray(0.2), "rscale": jnp.asarray(1.0),
+             "flow_rampup": jnp.asarray(0.0)}
     params, opt_state, loss = step_sharded(
         params, opt_state, dev_arrays, ids, jax.random.PRNGKey(0),
-        jnp.asarray(0), jnp.asarray(0))
+        jnp.asarray(0), jnp.asarray(0), knobs)
     jax.block_until_ready(loss)
     assert np.isfinite(float(loss)), "multichip dry run produced NaN"
     print(f"dryrun_multichip({n_devices}): loss={float(loss):.4f} OK")

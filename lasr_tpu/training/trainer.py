@@ -138,13 +138,14 @@ class Trainer:
         model, optimizer = self.model, self.optimizer
 
         def update_step(params, opt_state, dev_arrays, pair_ids, rng, epoch,
-                        iters):
+                        iters, knobs):
             # dev_arrays passed as an argument: closure-captured device
             # arrays would be embedded in the HLO as constants and stall
             # compilation with constant folding
             batch = gather_batch(dev_arrays, pair_ids)
             (loss, aux), grads = jax.value_and_grad(
-                model.loss_fn, has_aux=True)(params, batch, rng, epoch, iters)
+                model.loss_fn, has_aux=True)(params, batch, rng, epoch, iters,
+                                             knobs)
             grads, gv, gc, finite = clip_and_guard(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -175,7 +176,7 @@ class Trainer:
             IMAGE_KEYS += ["skin", "ctl_proj"]
 
         def epoch_scan(params, opt_state, dev_arrays, ids_all, epoch_seed,
-                       epoch):
+                       epoch, knobs):
             """One XLA program per epoch: lax.scan over the step schedule.
             Collapses per-step host dispatch (expensive on a tunneled TPU)
             and lets XLA keep params/optimizer state resident via donation.
@@ -193,7 +194,8 @@ class Trainer:
                 rng = jax.random.fold_in(key, i)
                 batch = gather_batch(dev_arrays, ids)
                 (loss, aux), grads = jax.value_and_grad(
-                    model.loss_fn, has_aux=True)(params, batch, rng, epoch, i)
+                    model.loss_fn, has_aux=True)(params, batch, rng, epoch, i,
+                                                 knobs)
                 grads, gv, gc, finite = clip_and_guard(grads)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -237,6 +239,17 @@ class Trainer:
             self.epoch_scan = shard_epoch_scan(epoch_scan, self.mesh)
         else:
             self.epoch_scan = jax.jit(epoch_scan, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def knobs(self):
+        """Annealing hyperparameters as traced f32 scalars (see
+        LasrModel.loss_fn): every sweep setting shares one compiled epoch
+        program instead of baking constants into the HLO."""
+        cfg = self.cfg
+        return {"noise_base": jnp.asarray(cfg.noise_base, jnp.float32),
+                "rscale": jnp.asarray(cfg.rscale, jnp.float32),
+                "flow_rampup": jnp.asarray(float(cfg.flow_rampup),
+                                           jnp.float32)}
 
     # ------------------------------------------------------------------
     def _load_pretrained(self, directory: str):
@@ -383,7 +396,8 @@ class Trainer:
                 ids_all = jnp.asarray(sched)
             self.params, self.opt_state, scals, nscore_sum, images = \
                 self.epoch_scan(self.params, self.opt_state, self.dev_arrays,
-                                ids_all, epoch_seed, jnp.asarray(epoch))
+                                ids_all, epoch_seed, jnp.asarray(epoch),
+                                self.knobs())
             self.epoch_nscore += np.asarray(nscore_sum)
             if writer is not None:
                 self._log_images(writer, images, sched[0], optim_idx, epoch)

@@ -51,6 +51,8 @@ flags.DEFINE_string("opt_tex", "yes", "optimize texture")
 flags.DEFINE_boolean("use_gtpose", False, "use GT cameras (camera still trained)")
 flags.DEFINE_boolean("noise", True, "pose-noise annealing")
 flags.DEFINE_float("rscale", 1.0, "scale noise variance")
+flags.DEFINE_float("noise_base", 0.2, "epoch-start pose-noise magnitude "
+                   "(ref:nnutils/mesh_net.py:222)")
 flags.DEFINE_float("l1tex_wt", 1.0, "weight of L1 texture loss")
 flags.DEFINE_float("sigval", 1e-4, "rasterizer blur sigma")
 flags.DEFINE_integer("seed", 0, "rng seed")
@@ -101,6 +103,7 @@ def config_from_flags() -> LasrConfig:
         use_gtpose=FLAGS.use_gtpose,
         noise=FLAGS.noise,
         rscale=FLAGS.rscale,
+        noise_base=FLAGS.noise_base,
         l1tex_wt=FLAGS.l1tex_wt,
         sigval=FLAGS.sigval,
         seed=FLAGS.seed,

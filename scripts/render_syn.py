@@ -17,6 +17,20 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# Fixture generation is an offline pass; default to the host CPU backend so
+# it never contends with a training run for the accelerator (--device tpu to
+# opt in).  Env JAX_PLATFORMS is ignored once sitecustomize pre-imports jax,
+# so this must be a config update before first use.
+if "--device" in sys.argv:
+    _dev = sys.argv[sys.argv.index("--device") + 1]
+else:
+    _dev = next((a.split("=", 1)[1] for a in sys.argv
+                 if a.startswith("--device=")), "cpu")
+if _dev == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import cv2
 import numpy as np
 import jax.numpy as jnp
@@ -76,6 +90,7 @@ def main():
     ap.add_argument("--alpha", type=float, default=1.0)
     ap.add_argument("--filedir", default="database")
     ap.add_argument("--asset_dir", default="database/misc")
+    ap.add_argument("--device", default="cpu", help="cpu | tpu")
     args = ap.parse_args()
 
     # Models: 'spot' = rigid orbiting cow (ref:scripts/render_syn.py:70-74).
@@ -165,7 +180,7 @@ def main():
             bgcolor = 255.0 - rgb[mask.astype(bool)].mean(0)
         rgb[~mask.astype(bool)] = bgcolor
         cv2.imwrite(os.path.join(dirs["JPEGImages"], f"{i:05d}.jpg"),
-                    rgb[:, :, ::-1])
+                    np.clip(rgb[:, :, ::-1], 0, 255).astype(np.uint8))
         cv2.imwrite(os.path.join(dirs["Annotations"], f"{i:05d}.png"),
                     (128 * mask).astype(np.uint8))
         np.savetxt(os.path.join(dirs["Camera"], f"{i:05d}.txt"), cam)
