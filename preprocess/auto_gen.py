@@ -91,6 +91,8 @@ def main():
                     help="output sequence name (default r<seqname>; the "
                     "reference's second auto_gen.sh pass writes the "
                     "unfiltered flow back to <seqname> itself)")
+    ap.add_argument("--force", action="store_true",
+                    help="allow overwriting a synthetic fixture's GT flow")
     args = ap.parse_args()
 
     datapath = args.datapath or \
@@ -112,6 +114,15 @@ def main():
         backend = dis_flow_backend
 
     out = args.out or f"r{args.seqname}"
+    # Synthetic fixtures (render_syn output) carry *exact* GT flow from
+    # vertex correspondence; estimated flow must never silently replace it
+    # (this once clobbered syn-spot3f's GT flow and broke convergence).
+    gt_meshes = f"{args.outroot}/Meshes/Full-Resolution/{out}"
+    if os.path.isdir(gt_meshes) and not args.force:
+        ap.error(f"{out} has GT meshes ({gt_meshes}) — it is a synthetic "
+                 "fixture whose FlowFW/FlowBW are exact GT from render_syn. "
+                 "Refusing to overwrite with estimated flow; pass --force "
+                 "to do it anyway.")
     dirs = {k: f"{args.outroot}/{k}/Full-Resolution/{out}"
             for k in ("JPEGImages", "Annotations", "FlowFW", "FlowBW")}
     for d in dirs.values():
