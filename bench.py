@@ -113,6 +113,27 @@ def main():
 
     raster_fwd, raster_bwd = bench_rasterizer()
 
+    # end-to-end artifacts recorded by real pipeline runs (exp/run_matrix.sh,
+    # exp/run_spot3.sh): per-config wall-clock + published eval metrics.
+    e2e = {}
+    wt_path = os.path.join("log", "matrix_walltime.jsonl")
+    if os.path.exists(wt_path):
+        for line in open(wt_path):
+            rec = json.loads(line)
+            e2e[f"{rec['run']}_wall_s"] = rec["wall_s"]
+    warm_path = os.path.join("results", "spot3_warm.json")
+    if os.path.exists(warm_path):
+        e2e.update(json.load(open(warm_path)))
+    try:
+        published = json.load(open("BASELINE.json")).get("published", {})
+        for k, v in published.items():
+            if isinstance(v, dict) and "mean_chamfer" in v:
+                e2e[f"{k}_chamfer"] = v["mean_chamfer"]
+            if isinstance(v, dict) and "pck" in v:
+                e2e[f"{k}_pck"] = v["pck"]
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "spot3_stage0_train_throughput",
         "value": round(sps, 3),
@@ -125,6 +146,7 @@ def main():
             "raster_fwdbwd_fps": round(raster_bwd, 1),
             "raster_image_size": 256,
             "raster_faces": 1280,
+            **e2e,
         },
     }))
 
