@@ -382,7 +382,7 @@ class Trainer:
             optim_idx = int(np.argmax(-self.epoch_nscore))
             if verbose:
                 print(f"epoch {epoch}: scores {self.epoch_nscore}, "
-                      f"selecting hypothesis {optim_idx}")
+                      f"selecting hypothesis {optim_idx}", flush=True)
             self.epoch_nscore[:] = 0
             sched = self.dataset.epoch_schedule(rng_np, cfg.batch_size, cfg.ngpu)
             t0 = time.time()
@@ -424,7 +424,7 @@ class Trainer:
                 dt = time.time() - t0
                 print(f"  epoch {epoch}: {len(sched)} steps in {dt:.1f}s "
                       f"({dt / len(sched) * 1e3:.0f} ms/step), "
-                      f"loss {float(scals['total_loss'][-1]):.4f}")
+                      f"loss {float(scals['total_loss'][-1]):.4f}", flush=True)
             if not bool(scals["grads_finite"].all()):
                 print("  warning: non-finite gradients were zeroed this epoch")
             if (epoch + 1) % cfg.save_epoch_freq == 0:
@@ -448,16 +448,50 @@ class Trainer:
         flat_dev = self._ravel_fn(self.params)
         # chunked device->host read: one monolithic ~57MB transfer can wedge
         # a tunneled TPU transport indefinitely (observed on the axon
-        # backend); ≤8MB chunks transfer reliably and cost the same total
-        CH = 2_000_000
+        # backend).  Chunking alone is not sufficient either — a 16-hypothesis
+        # snapshot wedged with 8MB chunks — so each chunk read also runs
+        # under a watchdog and is re-issued on timeout (a fresh device_get
+        # opens a new transfer; the stuck one is abandoned with its thread).
+        CH = 1_000_000
         n = flat_dev.shape[0]
-        flat = np.concatenate([np.asarray(flat_dev[a:a + CH])
+        flat = np.concatenate([self._read_chunk(flat_dev, a, CH)
                                for a in range(0, n, CH)]) if n > CH \
             else np.asarray(flat_dev)
         sizes = np.cumsum([l.size for l in leaves])[:-1]
         host_leaves = [s.reshape(l.shape).astype(l.dtype) for s, l in
                        zip(np.split(flat, sizes), leaves)]
         return jax.tree_util.tree_unflatten(treedef, host_leaves)
+
+    @staticmethod
+    def _read_chunk(flat_dev, a, CH, timeout_s=90.0, retries=3):
+        """Device->host read of flat_dev[a:a+CH] with a stall watchdog.
+
+        Runs the blocking read in a daemon thread; if it does not complete
+        within timeout_s (normal chunk time is <1s), issues a fresh read.
+        A wedged read's thread is abandoned — it holds no locks we need."""
+        import threading
+
+        for attempt in range(retries):
+            box = {}
+
+            def _read(box=box):
+                try:
+                    box["v"] = np.asarray(flat_dev[a:a + CH])
+                except Exception as e:          # pragma: no cover
+                    box["e"] = e
+
+            th = threading.Thread(target=_read, daemon=True)
+            th.start()
+            th.join(timeout_s)
+            if "v" in box:
+                return box["v"]
+            if "e" in box:
+                raise box["e"]
+            print(f"  checkpoint read stalled (chunk @{a}, attempt "
+                  f"{attempt + 1}/{retries}); re-issuing", flush=True)
+        raise RuntimeError(
+            f"device->host read wedged {retries} times (chunk @{a}); "
+            "TPU tunnel transport appears dead")
 
     def save(self, *labels: str):
         """Checkpoint write: ONE device read for all labels (donation

@@ -11,9 +11,16 @@ devices of the jax mesh).
 
 from __future__ import annotations
 
+import faulthandler
+import signal
 import sys
 
 import os
+
+# `kill -USR1 <pid>` dumps all thread stacks — the TPU tunnel can wedge a
+# device->host transfer indefinitely, and this makes such stalls diagnosable
+# without killing the run.
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax
