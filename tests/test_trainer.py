@@ -64,7 +64,7 @@ def test_two_steps_reduce_nothing_nan(tmp_path):
     for i in range(3):
         p, s, scalars, nscore, _ = tr.update_step(
             p, s, tr.dev_arrays, ids, jax.random.fold_in(key, i),
-            jnp.asarray(0), jnp.asarray(i))
+            jnp.asarray(0), jnp.asarray(i), tr.knobs())
         losses.append(float(scalars["total_loss"]))
         assert bool(scalars["grads_finite"])
     assert all(np.isfinite(losses))
@@ -99,7 +99,7 @@ def test_checkpoint_roundtrip_and_surgery(tmp_path):
     # one step runs
     p, s, scalars, _, _ = tr2.update_step(
         tr2.params, tr2.opt_state, tr2.dev_arrays, jnp.asarray([0]),
-        jax.random.PRNGKey(0), jnp.asarray(0), jnp.asarray(0))
+        jax.random.PRNGKey(0), jnp.asarray(0), jnp.asarray(0), tr2.knobs())
     assert np.isfinite(float(scalars["total_loss"]))
 
 
@@ -113,7 +113,7 @@ def test_data_parallel_step(tmp_path):
     ids = put_sharded_ids(np.asarray([0, 1]), tr.mesh)
     p, s, scalars, nscore, _ = tr.update_step(
         tr.params, tr.opt_state, tr.dev_arrays, ids, jax.random.PRNGKey(0),
-        jnp.asarray(0), jnp.asarray(0))
+        jnp.asarray(0), jnp.asarray(0), tr.knobs())
     assert np.isfinite(float(scalars["total_loss"]))
     # params stay replicated across devices
     leaf = jax.tree_util.tree_leaves(p)[0]
