@@ -99,14 +99,14 @@ def main():
     t0 = time.time()
     p, s, *_ = tr.epoch_scan(p, s, tr.dev_arrays, ids_all,
                              jnp.asarray(0, jnp.int32), jnp.asarray(0),
-                             tr.knobs())
+                             jnp.asarray(0, jnp.int32), tr.knobs())
     jax.block_until_ready(p)
     compile_s = time.time() - t0
 
     t0 = time.time()
     p, s, *_ = tr.epoch_scan(p, s, tr.dev_arrays, ids_all,
                              jnp.asarray(1, jnp.int32), jnp.asarray(1),
-                             tr.knobs())
+                             jnp.asarray(0, jnp.int32), tr.knobs())
     jax.block_until_ready(p)
     dt = time.time() - t0
     sps = n / dt

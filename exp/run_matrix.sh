@@ -32,6 +32,7 @@ for c in $configs; do
         bash scripts/render_result.sh log/camel-5
         python scripts/eval_mesh.py --testdir log/camel-5 \
           --gtdir database/gt-camel | tail -2
+        python scripts/eval_badja.py --testdir log/camel-5 --seqname camel-syn
       ) > /tmp/matrix-camel.log 2>&1 ;;
     pika)
       ( set -e
@@ -41,6 +42,8 @@ for c in $configs; do
         bash scripts/render_result.sh log/pika-5
         python scripts/eval_mesh.py --testdir log/pika-5 \
           --gtdir database/gt-pika | tail -2
+        python scripts/make_badja_syn.py --seqname pika
+        python scripts/eval_badja.py --testdir log/pika-5 --seqname pika-syn
       ) > /tmp/matrix-pika.log 2>&1 ;;
   esac
   record $c $((SECONDS - s)) $?

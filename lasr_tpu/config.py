@@ -62,6 +62,15 @@ class LasrConfig:
     # a short self-supervised phase that separates per-frame features
     # before stage-0 optimization.  0 = off.
     warmup_steps: int = 0
+    # max steps per scanned-epoch dispatch: bounds one device execution's
+    # wall-clock (long executions can exceed the tunneled worker's deadline)
+    scan_chunk: int = 66
+    # resume: first epoch to run (earlier epochs' RNG draws are consumed so
+    # the schedule matches an uninterrupted run); set by the optimize.py
+    # supervisor from the checkpoint's __epochs_done on restart
+    start_epoch: int = 0
+    # liveness: exit(75) if no chunk completes for this long (0 = disabled)
+    stall_timeout_s: float = 1200.0
 
     # per-frame learnable camera codes: a [n_frames, nz_feat] embedding
     # added to the encoder features.  Guarantees well-separated per-frame

@@ -55,12 +55,13 @@ def shard_epoch_scan(scan_fn, mesh: Mesh):
     """jit the scanned-epoch step: params/opt replicated, schedule sharded
     over `data` on its batch axis.
 
-    scan_fn(params, opt_state, dev_arrays, ids_all, key, epoch, knobs)."""
+    scan_fn(params, opt_state, dev_arrays, ids_all, key, epoch, iter0,
+    knobs)."""
     repl = NamedSharding(mesh, P())
     sched = NamedSharding(mesh, P(None, "data"))
     return jax.jit(
         scan_fn,
-        in_shardings=(repl, repl, repl, sched, repl, repl, repl),
+        in_shardings=(repl, repl, repl, sched, repl, repl, repl, repl),
         out_shardings=None,
         donate_argnums=(0, 1),
     )

@@ -46,9 +46,11 @@ def _unflatten(flat: dict):
         {tuple(k.split("/")): np.asarray(v) for k, v in flat.items()})
 
 
-def save_checkpoint(path: str, params, model, epoch_nscore) -> None:
+def save_checkpoint(path: str, params, model, epoch_nscore,
+                    epochs_done: int = 0) -> None:
     flat = _flatten(params)
     optim = int(np.argmax(-np.asarray(epoch_nscore)))
+    flat["__epochs_done"] = np.asarray(epochs_done)
     # derived artifacts computed host-side (one bulk device read via
     # _flatten above; no eager device compute)
     full_shape = model.symmetrize_host(flat["mean_v"])

@@ -84,8 +84,8 @@ class Trainer:
     def __init__(self, cfg: LasrConfig, configs_dir: str = "configs"):
         self.cfg = cfg
         self.dataset = VideoDataset(cfg, configs_dir)
-        self.dev_arrays = {k: jnp.asarray(v)
-                           for k, v in self.dataset.device_arrays().items()}
+        self.dev_arrays = {k: jnp.asarray(v) for k, v in
+                           self.dataset.device_arrays_compact().items()}
 
         # model construction, with checkpoint surgery for stage transitions
         n_frames = int(max(self.dataset.meta["id0"].max(),
@@ -117,9 +117,21 @@ class Trainer:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             opt_state = self.optimizer.init(self.params)
+        # keep the host-side param tree: the pre-training save("0") snapshots
+        # from it directly, avoiding a device->host read that would queue
+        # behind the (slow, tunneled) initial upload of the video arrays
+        self._host_params = jax.tree.map(np.asarray, self.params)
         self.params, self.opt_state = jax.device_put(
             (self.params, opt_state), jax.devices()[0])
         self.epoch_nscore = np.zeros(cfg.n_hypo, np.float32)
+        if cfg.start_epoch > 0 and cfg.model_path:
+            # mid-stage resume: restore the hypothesis scores accumulated by
+            # the interrupted run so selection dynamics continue seamlessly
+            _, meta = ckpt.load_raw(cfg.model_path)
+            if meta.get("__epoch_nscore") is not None and \
+                    len(meta["__epoch_nscore"]) == cfg.n_hypo:
+                self.epoch_nscore = np.asarray(
+                    meta["__epoch_nscore"], np.float32).copy()
         self._build_step()
         from concurrent.futures import ThreadPoolExecutor
         self._save_pool = ThreadPoolExecutor(max_workers=1,
@@ -176,13 +188,19 @@ class Trainer:
             IMAGE_KEYS += ["skin", "ctl_proj"]
 
         def epoch_scan(params, opt_state, dev_arrays, ids_all, epoch_seed,
-                       epoch, knobs):
-            """One XLA program per epoch: lax.scan over the step schedule.
-            Collapses per-step host dispatch (expensive on a tunneled TPU)
-            and lets XLA keep params/optimizer state resident via donation.
-            The step-0 image panels (ref logs at i==0) ride along as a scan
-            carry selected at i==0 — no separate eagerly-jitted step program
-            (each extra program costs ~35s of cold TPU compile).  The PRNG
+                       epoch, iter0, knobs):
+            """One XLA program per epoch SEGMENT: lax.scan over a slice of
+            the step schedule.  Collapses per-step host dispatch (expensive
+            on a tunneled TPU) and lets XLA keep params/optimizer state
+            resident via donation.  The epoch is dispatched in bounded
+            segments (train() slices the schedule) because a single
+            multi-minute device execution can exceed the tunnel's worker
+            deadline — observed as 'TPU worker process crashed' ~2 min into
+            a 16-hypothesis full-epoch program.  `iter0` is the global step
+            index of the segment's first step, so annealing (iters<100),
+            nscore gating (i>100) and the i==0 image capture keep reference
+            semantics across segments.  The step-0 image panels (ref logs at
+            i==0) ride along as a scan carry selected at i==0.  The PRNG
             key is built from a host int INSIDE the traced program: eager
             PRNGKey/split ops at the host level each pay a tiny-program
             compile + round-trip on the tunneled backend."""
@@ -229,7 +247,7 @@ class Trainer:
             if K > 1:
                 images0["skin"] = jnp.zeros((H, K - 1, V))
                 images0["ctl_proj"] = jnp.zeros((n2, H, K - 1, 2))
-            iters = jnp.arange(ids_all.shape[0])
+            iters = iter0 + jnp.arange(ids_all.shape[0])
             (params, opt_state, images), (scals, nscores) = jax.lax.scan(
                 step, (params, opt_state, images0), (ids_all, iters))
             return params, opt_state, scals, nscores.sum(0), images
@@ -286,17 +304,13 @@ class Trainer:
         cfg = self.cfg
         if cfg.warmup_steps <= 0:
             return
-        # unique frames from the pair arrays
-        ids = np.stack([self.dataset.meta["id0"],
-                        self.dataset.meta["id1"]], 1)
-        seen = {}
-        for p in range(ids.shape[0]):
-            for s in range(2):
-                seen.setdefault(int(ids[p, s]), (p, s))
-        order = sorted(seen)
-        host_imgs = np.asarray(self.dataset.device_arrays()["input_imgs"])
-        frames = np.stack([host_imgs[seen[f][0], seen[f][1]] for f in order])
-        nf = len(order)
+        # per-frame normalized images, straight from the compact host layout
+        from ..data.video import IMAGENET_MEAN, IMAGENET_STD
+        f_imgs = self.dataset.device_arrays_compact()["f_imgs"]
+        mean = np.asarray(IMAGENET_MEAN, np.float32).reshape(3, 1, 1)
+        std = np.asarray(IMAGENET_STD, np.float32).reshape(3, 1, 1)
+        frames = (f_imgs - mean) / std
+        nf = frames.shape[0]
 
         # independent random targets with a large norm.  Rationale: with the
         # reference's pretrained trunk, per-frame codes are far apart and
@@ -336,6 +350,7 @@ class Trainer:
             self.params["encoder"], imgs_d, tgt_d, cfg.warmup_steps)
         losses = np.asarray(losses)
         self.params["encoder"] = new_enc
+        self._host_params = None      # device params diverged from the mirror
         print(f"encoder warmup: {cfg.warmup_steps} steps in "
               f"{time.time() - t0:.1f}s, loss {losses[0]:.3f} -> "
               f"{losses[-1]:.3f}")
@@ -347,8 +362,15 @@ class Trainer:
         cfg = self.cfg
         if cfg.n_bones <= 1:
             return
-        # host-side symmetrize (no eager device ops at init time)
-        full = self.model.symmetrize_host(np.asarray(self.params["mean_v"]))
+        # host-side symmetrize (no eager device ops at init time).  Use the
+        # host mirror when params haven't been touched on device yet: a
+        # device read here queues behind the async upload of the video
+        # arrays, which takes minutes on the tunneled backend.
+        if self._host_params is not None:
+            mean_v = self._host_params["mean_v"]
+        else:
+            mean_v = np.asarray(self.params["mean_v"])
+        full = self.model.symmetrize_host(np.asarray(mean_v))
         centers = np.stack([kmeans(full[h], cfg.n_bones - 1)
                             for h in range(cfg.n_hypo)])
         # device_put with an explicit device: plain jnp.asarray would create
@@ -364,6 +386,39 @@ class Trainer:
             "log_ctl": np.ones((cfg.n_hypo, cfg.n_bones - 1, 3), np.float32),
         }
         self.params.update(jax.device_put(new, jax.devices()[0]))
+        if self._host_params is not None:
+            self._host_params.update({k: v.copy() for k, v in new.items()})
+
+    # ------------------------------------------------------------------
+    def _start_stall_watchdog(self):
+        """Liveness monitor: the tunneled TPU backend can hang a device call
+        forever (dead transport) with no exception to catch.  If no chunk
+        completes within cfg.stall_timeout_s (generous enough for a cold
+        multi-minute XLA compile), dump all thread stacks and exit 75 so the
+        optimize.py supervisor can restart from the latest checkpoint."""
+        import faulthandler
+        import threading
+
+        if self.cfg.stall_timeout_s <= 0 or getattr(self, "_watchdog", None):
+            return
+        self._heartbeat = time.time()
+
+        def _watch():
+            while True:
+                time.sleep(30)
+                stale = time.time() - self._heartbeat
+                if stale > self.cfg.stall_timeout_s:
+                    print(f"STALL: no training progress for {stale:.0f}s — "
+                          "dumping stacks and exiting for supervisor restart",
+                          flush=True)
+                    faulthandler.dump_traceback(all_threads=True)
+                    os._exit(75)
+
+        self._watchdog = threading.Thread(target=_watch, daemon=True)
+        self._watchdog.start()
+
+    def _beat(self):
+        self._heartbeat = time.time()
 
     # ------------------------------------------------------------------
     def train(self, log_images_fn=None, verbose: bool = True):
@@ -373,10 +428,19 @@ class Trainer:
         writer = self._tb_writer()
         total_steps = 0
         self.save("0")
+        self._start_stall_watchdog()
 
         if not cfg.model_path and not cfg.frame_code:
             self.warmup_encoder()     # no-op unless cfg.warmup_steps > 0
         for epoch in range(cfg.num_epochs):
+            if epoch < cfg.start_epoch:
+                # resume: consume the host RNG draws of completed epochs so
+                # the remaining schedule matches an uninterrupted run
+                skipped = self.dataset.epoch_schedule(rng_np, cfg.batch_size,
+                                                      cfg.ngpu)
+                seed_np.randint(0, 2 ** 31 - 1)
+                total_steps += len(skipped)
+                continue
             if epoch == 0:
                 self.reinit_bones()
             optim_idx = int(np.argmax(-self.epoch_nscore))
@@ -394,11 +458,42 @@ class Trainer:
                 ids_all = put_sharded_schedule(sched, self.mesh)
             else:
                 ids_all = jnp.asarray(sched)
-            self.params, self.opt_state, scals, nscore_sum, images = \
-                self.epoch_scan(self.params, self.opt_state, self.dev_arrays,
-                                ids_all, epoch_seed, jnp.asarray(epoch),
-                                self.knobs())
-            self.epoch_nscore += np.asarray(nscore_sum)
+            self._host_params = None  # device params diverge from the mirror
+
+            # dispatch the epoch in k uniform segments of length L: bounds
+            # each device execution's wall-clock (the tunneled worker dies
+            # ~2 min into one execution) while keeping per-epoch dispatch
+            # count small.  Uniform L -> one compiled program regardless of
+            # k; up to k-1 trailing steps are dropped (<2% of an epoch).
+            # The cap scales inversely with per-step render count (a
+            # 16-hypothesis batch-3 step rasterizes 96 meshes, ~6x a spot3
+            # stage-0 step) so heavy stages stay under the deadline too.
+            renders = 2 * cfg.batch_size * cfg.n_hypo
+            chunk = max(8, min(self.cfg.scan_chunk, 1600 // max(renders, 1)))
+            n = ids_all.shape[0]
+            k = max(1, -(-n // chunk))
+            L = n // k
+            scals_parts, images = [], None
+            nscore_sum = np.zeros_like(self.epoch_nscore)
+            for ci in range(k):
+                seg = ids_all[ci * L:(ci + 1) * L]
+                self.params, self.opt_state, scal_c, nscore_c, images_c = \
+                    self.epoch_scan(self.params, self.opt_state,
+                                    self.dev_arrays, seg, epoch_seed,
+                                    jnp.asarray(epoch),
+                                    jnp.asarray(ci * L, jnp.int32),
+                                    self.knobs())
+                scals_parts.append(scal_c)
+                nscore_sum += np.asarray(nscore_c)
+                self._beat()
+                if ci == 0:
+                    images = images_c
+            # every scal leaf is scan-stacked with leading dim L
+            scals = jax.tree.map(
+                lambda *xs: np.concatenate([np.asarray(x) for x in xs], 0),
+                *scals_parts)
+            sched = sched[:k * L]
+            self.epoch_nscore += nscore_sum
             if writer is not None:
                 self._log_images(writer, images, sched[0], optim_idx, epoch)
             if log_images_fn is not None:
@@ -428,7 +523,7 @@ class Trainer:
             if not bool(scals["grads_finite"].all()):
                 print("  warning: non-finite gradients were zeroed this epoch")
             if (epoch + 1) % cfg.save_epoch_freq == 0:
-                self.save("latest", str(epoch + 1))
+                self.save("latest", str(epoch + 1), epochs_done=epoch + 1)
         self.finish_saves()
         return self.params
 
@@ -437,6 +532,9 @@ class Trainer:
         """Synchronous params snapshot as ONE raveled device->host read
         (~3s for 57MB vs ~8s per-leaf on the tunneled TPU; the read must
         finish before the next epoch_scan call donates these buffers)."""
+        if self._host_params is not None:
+            # params have not been updated on device yet (pre-training save)
+            return self._host_params
         leaves, treedef = jax.tree_util.tree_flatten(self.params)
         # ravel_pytree promotes all leaves to one dtype; a non-f32 leaf
         # would round-trip through float32 and silently corrupt.
@@ -463,37 +561,35 @@ class Trainer:
         return jax.tree_util.tree_unflatten(treedef, host_leaves)
 
     @staticmethod
-    def _read_chunk(flat_dev, a, CH, timeout_s=90.0, retries=3):
-        """Device->host read of flat_dev[a:a+CH] with a stall watchdog.
+    def _read_chunk(flat_dev, a, CH, warn_every_s=120.0):
+        """Device->host read of flat_dev[a:a+CH] with a slow-read monitor.
 
-        Runs the blocking read in a daemon thread; if it does not complete
-        within timeout_s (normal chunk time is <1s), issues a fresh read.
-        A wedged read's thread is abandoned — it holds no locks we need."""
+        The axon tunnel serializes transfers: a read issued behind a large
+        upload backlog (hundreds of MB of video arrays on real sequences)
+        can legitimately take minutes.  A watchdog that re-issues the read
+        concurrently ABORTS the runtime ('terminate called recursively'), so
+        the monitor only logs, making slow reads visible without racing the
+        transport."""
         import threading
 
-        for attempt in range(retries):
-            box = {}
+        done = threading.Event()
 
-            def _read(box=box):
-                try:
-                    box["v"] = np.asarray(flat_dev[a:a + CH])
-                except Exception as e:          # pragma: no cover
-                    box["e"] = e
+        def _monitor():
+            waited = 0.0
+            while not done.wait(warn_every_s):
+                waited += warn_every_s
+                print(f"  checkpoint read in flight {waited:.0f}s "
+                      f"(chunk @{a}) — tunnel transfer backlog; waiting",
+                      flush=True)
 
-            th = threading.Thread(target=_read, daemon=True)
-            th.start()
-            th.join(timeout_s)
-            if "v" in box:
-                return box["v"]
-            if "e" in box:
-                raise box["e"]
-            print(f"  checkpoint read stalled (chunk @{a}, attempt "
-                  f"{attempt + 1}/{retries}); re-issuing", flush=True)
-        raise RuntimeError(
-            f"device->host read wedged {retries} times (chunk @{a}); "
-            "TPU tunnel transport appears dead")
+        mon = threading.Thread(target=_monitor, daemon=True)
+        mon.start()
+        try:
+            return np.asarray(flat_dev[a:a + CH])
+        finally:
+            done.set()
 
-    def save(self, *labels: str):
+    def save(self, *labels: str, epochs_done: int = 0):
         """Checkpoint write: ONE device read for all labels (donation
         safety requires it to be synchronous); the npz serialization +
         disk writes run off-thread and overlap the next epoch's device
@@ -510,7 +606,8 @@ class Trainer:
         for label in labels:
             path = os.path.join(self.cfg.save_dir, f"pred_net_{label}.npz")
             self._save_futures.append(self._save_pool.submit(
-                ckpt.save_checkpoint, path, host_params, self.model, nscore))
+                ckpt.save_checkpoint, path, host_params, self.model, nscore,
+                epochs_done))
 
     def finish_saves(self):
         for f in self._save_futures:

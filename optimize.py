@@ -63,6 +63,8 @@ flags.DEFINE_float("noise_base", 0.2, "epoch-start pose-noise magnitude "
 flags.DEFINE_float("l1tex_wt", 1.0, "weight of L1 texture loss")
 flags.DEFINE_float("sigval", 1e-4, "rasterizer blur sigma")
 flags.DEFINE_integer("seed", 0, "rng seed")
+flags.DEFINE_integer("scan_chunk", 66,
+                     "max steps per scanned-epoch device dispatch")
 flags.DEFINE_integer("warmup_steps", 0,
                      "encoder feature-warmup steps before stage optimization "
                      "(offline substitute for an ImageNet-pretrained trunk)")
@@ -78,6 +80,14 @@ flags.DEFINE_integer("flow_rampup", 0,
                      "epochs until the flow loss reaches full weight "
                      "(0 = always full weight, reference behavior)")
 flags.DEFINE_integer("local_rank", 0, "ignored (single-process SPMD)")
+flags.DEFINE_integer("start_epoch", 0,
+                     "resume: first epoch to run (set by the supervisor)")
+flags.DEFINE_integer("max_retries", 2,
+                     "restart a crashed/stalled run from the latest "
+                     "checkpoint up to this many times (0 = no supervisor)")
+flags.DEFINE_float("stall_timeout_s", 1200.0,
+                   "exit for supervisor restart if no training progress "
+                   "for this long (0 = disabled)")
 flags.DEFINE_string("profile_dir", "", "capture a jax.profiler trace of the "
                     "first epoch into this directory")
 
@@ -115,6 +125,9 @@ def config_from_flags() -> LasrConfig:
         sigval=FLAGS.sigval,
         seed=FLAGS.seed,
         warmup_steps=FLAGS.warmup_steps,
+        scan_chunk=FLAGS.scan_chunk,
+        start_epoch=FLAGS.start_epoch,
+        stall_timeout_s=FLAGS.stall_timeout_s,
         pretrained_dir=FLAGS.pretrained_dir,
         frame_code=FLAGS.frame_code,
         frame_code_norm=FLAGS.frame_code_norm,
@@ -122,7 +135,48 @@ def config_from_flags() -> LasrConfig:
     )
 
 
+def _supervise() -> int:
+    """Elastic recovery (the reference has none — resume is manual via
+    --model_path, ref:nnutils/train_utils.py:357-360): re-run the training
+    child from its latest checkpoint when it crashes (TPU worker death) or
+    stalls (dead tunnel transport -> watchdog exit 75).  The parent never
+    touches the device, so the child owns the chip exclusively."""
+    import subprocess
+    import time as _time
+
+    import numpy as np
+
+    tries = 0
+    while True:
+        extra = []
+        latest = os.path.join(FLAGS.checkpoint_dir, FLAGS.name,
+                              "pred_net_latest.npz")
+        if tries and os.path.exists(latest):
+            try:
+                done = int(np.load(latest)["__epochs_done"])
+            except Exception:
+                done = 0
+            if done >= FLAGS.num_epochs:
+                return 0
+            if done > 0:
+                # absl: later duplicate flags override earlier ones
+                extra = [f"--start_epoch={done}", f"--model_path={latest}"]
+        env = dict(os.environ, LASR_CHILD="1")
+        rc = subprocess.call([sys.executable] + sys.argv + extra, env=env)
+        if rc == 0:
+            return 0
+        tries += 1
+        if tries > FLAGS.max_retries:
+            return rc
+        print(f"supervisor: attempt {tries} exited rc={rc}; restarting "
+              f"from {'epoch ' + extra[0].split('=')[1] if extra else 'scratch'}",
+              flush=True)
+        _time.sleep(20)
+
+
 def main(_):
+    if FLAGS.max_retries > 0 and not os.environ.get("LASR_CHILD"):
+        sys.exit(_supervise())
     cfg = config_from_flags()
     trainer = Trainer(cfg)
     if FLAGS.profile_dir:

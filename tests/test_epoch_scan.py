@@ -33,7 +33,8 @@ def test_epoch_scan_runs(tmp_path):
     ids_all = jnp.asarray(np.zeros((4, 1), np.int64))
     p, s, scals, nscore, images = tr.epoch_scan(
         tr.params, tr.opt_state, tr.dev_arrays, ids_all,
-        jnp.asarray(0, jnp.int32), jnp.asarray(0), tr.knobs())
+        jnp.asarray(0, jnp.int32), jnp.asarray(0),
+        jnp.asarray(0, jnp.int32), tr.knobs())
     assert scals["total_loss"].shape == (4,)
     assert np.isfinite(np.asarray(scals["total_loss"])).all()
     assert nscore.shape == (1,)
@@ -54,6 +55,7 @@ def test_epoch_scan_sharded(tmp_path):
     ids_all = put_sharded_schedule(np.zeros((3, 2), np.int64), tr.mesh)
     p, s, scals, nscore, images = tr.epoch_scan(
         tr.params, tr.opt_state, tr.dev_arrays, ids_all,
-        jnp.asarray(0, jnp.int32), jnp.asarray(0), tr.knobs())
+        jnp.asarray(0, jnp.int32), jnp.asarray(0),
+        jnp.asarray(0, jnp.int32), tr.knobs())
     assert np.isfinite(np.asarray(scals["total_loss"])).all()
     assert jax.tree_util.tree_leaves(p)[0].sharding.is_fully_replicated

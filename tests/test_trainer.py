@@ -118,3 +118,45 @@ def test_data_parallel_step(tmp_path):
     # params stay replicated across devices
     leaf = jax.tree_util.tree_leaves(p)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_gather_batch_compact_matches_legacy(tmp_path):
+    """device_arrays_compact + gather must reproduce the legacy batch
+    bit-exactly (images/masks/DTs are per-frame; dedup is lossless)."""
+    os.chdir(REPO)
+    cfg = small_cfg(tmp_path)
+    ds = VideoDataset(cfg, "configs")
+    legacy = {k: jnp.asarray(v) for k, v in ds.device_arrays().items()}
+    compact = {k: jnp.asarray(v)
+               for k, v in ds.device_arrays_compact().items()}
+    ids = jnp.asarray([0, 1])
+    a = gather_batch(legacy, ids)
+    b = gather_batch(compact, ids)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+
+@pytest.mark.slow
+def test_train_chunked_and_resume(tmp_path):
+    """Full train() loop with chunked epoch dispatch, then a mid-stage
+    resume (start_epoch + model_path) as the optimize.py supervisor would
+    relaunch it: the resumed run must pick up the saved epochs_done, keep
+    the RNG schedule aligned, and finish with finite params."""
+    os.chdir(REPO)
+    cfg = small_cfg(tmp_path, num_epochs=2, scan_chunk=2)
+    tr = Trainer(cfg)
+    tr.train(verbose=False)
+    latest = os.path.join(cfg.save_dir, "pred_net_latest.npz")
+    assert os.path.exists(latest)
+    ck = np.load(latest)
+    assert int(ck["__epochs_done"]) == 2
+
+    cfg2 = small_cfg(tmp_path, num_epochs=3, scan_chunk=2,
+                     start_epoch=2, model_path=latest)
+    tr2 = Trainer(cfg2)
+    tr2.train(verbose=False)
+    ck2 = np.load(os.path.join(cfg2.save_dir, "pred_net_latest.npz"))
+    assert int(ck2["__epochs_done"]) == 3
+    assert np.isfinite(ck2["mean_v"]).all()
