@@ -65,6 +65,9 @@ class LasrConfig:
     # max steps per scanned-epoch dispatch: bounds one device execution's
     # wall-clock (long executions can exceed the tunneled worker's deadline)
     scan_chunk: int = 66
+    # optimizer steps per epoch x batch x ngpu (the reference's 200-step
+    # replication, ref:dataloader/vid.py:78-80); lower only for smoke tests
+    epoch_steps: int = 200
     # resume: first epoch to run (earlier epochs' RNG draws are consumed so
     # the schedule matches an uninterrupted run); set by the optimize.py
     # supervisor from the checkpoint's __epochs_done on restart

@@ -275,7 +275,8 @@ class VideoDataset:
                        batch_size: int, ndev: int = 1) -> np.ndarray:
         """Shuffled pair-id schedule [steps, ndev*batch] (ref: 200-step
         replication, dataloader/vid.py:78-80, drop_last)."""
-        per_epoch = batch_size * ndev * 200
+        steps = getattr(self.cfg, "epoch_steps", 200)
+        per_epoch = batch_size * ndev * steps
         fac = max(per_epoch // len(self.pair_list), 1)
         ids = np.asarray([self._uid[p] for p in self.pair_list] * fac)
         rng.shuffle(ids)

@@ -145,7 +145,7 @@ def test_train_chunked_and_resume(tmp_path):
     relaunch it: the resumed run must pick up the saved epochs_done, keep
     the RNG schedule aligned, and finish with finite params."""
     os.chdir(REPO)
-    cfg = small_cfg(tmp_path, num_epochs=2, scan_chunk=2)
+    cfg = small_cfg(tmp_path, num_epochs=2, scan_chunk=2, epoch_steps=4)
     tr = Trainer(cfg)
     tr.train(verbose=False)
     latest = os.path.join(cfg.save_dir, "pred_net_latest.npz")
@@ -153,7 +153,7 @@ def test_train_chunked_and_resume(tmp_path):
     ck = np.load(latest)
     assert int(ck["__epochs_done"]) == 2
 
-    cfg2 = small_cfg(tmp_path, num_epochs=3, scan_chunk=2,
+    cfg2 = small_cfg(tmp_path, num_epochs=3, scan_chunk=2, epoch_steps=4,
                      start_epoch=2, model_path=latest)
     tr2 = Trainer(cfg2)
     tr2.train(verbose=False)
