@@ -486,6 +486,11 @@ class Trainer:
                 scals_parts.append(scal_c)
                 nscore_sum += np.asarray(nscore_c)
                 self._beat()
+                if verbose and epoch == cfg.start_epoch and k > 1:
+                    # chunk-level liveness on the very first epoch, where a
+                    # slow upload/compile makes progress otherwise invisible
+                    print(f"    chunk {ci + 1}/{k} done "
+                          f"({time.time() - t0:.0f}s elapsed)", flush=True)
                 if ci == 0:
                     images = images_c
             # every scal leaf is scan-stacked with leading dim L
