@@ -200,7 +200,8 @@ def test_grads_finite_everywhere():
 
 def test_degenerate_face_no_nan():
     faces, tex = tri_scene(jnp.float32)
-    faces = faces.at[0, 2].set(jnp.asarray([[0.1, 0.1, 10.0]] * 3))  # zero-area
+    faces = faces.at[0, 2].set(
+        jnp.asarray([[0.1, 0.1, 10.0]] * 3, faces.dtype))  # zero-area
     out = sr.soft_rasterize_ref(faces, tex, CFG, 1.0, 100.0)
     assert np.isfinite(np.asarray(out)).all()
     g = jax.grad(lambda fv: (sr.soft_rasterize_ref(fv, tex, CFG, 1.0, 100.0) ** 2).sum())(faces)
