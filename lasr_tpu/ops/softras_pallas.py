@@ -273,6 +273,17 @@ def _make_fd(data_ref, c0, C):
     return fd
 
 
+def _tex_mat(data_ref, c0, C, K, j):
+    """Vertex-j color block as a [K, C] matrix (rows are contiguous)."""
+    return data_ref[0, pl.ds(_TEX + K * j, K), pl.ds(c0, C)]
+
+
+def _mm(a, b, dims):
+    """MXU matmul with f32 accumulation (texture contractions)."""
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _pixel_coords(t, PT, S):
     pix = t * PT + jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0)
     xi = (pix % S).astype(jnp.float32)
@@ -321,7 +332,7 @@ def _fwd_kernel(near_ref, far_ref, bbox_ref, data_ref, out_ref, *, S, PT, C,
         @pl.when(overlap)
         def _():
             acc = out_ref[0]
-            rgb = [acc[:, k:k + 1] for k in range(K)]
+            rgb_mat = acc[:, :K]                             # [PT, K]
             logalpha = acc[:, K:K + 1]
             ssum = acc[:, K + 1:K + 2]
             smax = acc[:, K + 2:K + 3]
@@ -343,15 +354,15 @@ def _fwd_kernel(near_ref, far_ref, bbox_ref, data_ref, out_ref, *, S, PT, C,
                 jnp.where(rgb_valid, (z_norm - new_max) / gamma, -jnp.inf))
             ssum = ssum * scale + jnp.sum(wgt, -1, keepdims=True)
 
-            wc0, wc1, wc2 = g["wc"]
-            new_rgb = []
-            for k, rk in enumerate(rgb):
-                col = (wc0 * fd(_TEX + k) + wc1 * fd(_TEX + K + k)
-                       + wc2 * fd(_TEX + 2 * K + k))
-                new_rgb.append(rk * scale
-                               + jnp.sum(wgt * col, -1, keepdims=True))
+            # out[p,k] += sum_c wgt*(sum_j wc_j tex_jk): three [PT,C]x[K,C]^T
+            # MXU matmuls instead of a K-loop of VPU lane reductions
+            contrib = sum(
+                _mm(wgt * g["wc"][j], _tex_mat(data_ref, i * C, C, K, j),
+                    ((1,), (1,)))
+                for j in range(3))                           # [PT, K]
             out_ref[0] = jnp.concatenate(
-                [*new_rgb, logalpha, ssum, new_max, pad0], -1)
+                [rgb_mat * scale + contrib, logalpha, ssum, new_max, pad0],
+                -1)
         return carry
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -379,10 +390,11 @@ def _bwd_kernel(near_ref, far_ref, bbox_ref, data_ref, fwd_ref, gout_ref,
     rzrange = 1.0 / (far - near)
     tile_ymin, tile_ymax = _tile_ybounds(t, PT, S)
 
-    g_rgb = [gout_ref[0, :, k].reshape(PT, 1) for k in range(K)]
+    g_rgb_mat = gout_ref[0, :, :K]                           # [PT, K]
     g_alpha = gout_ref[0, :, K].reshape(PT, 1)
-    out_rgb = [fwd_ref[0, :, k].reshape(PT, 1) for k in range(K)]
+    out_rgb_mat = fwd_ref[0, :, :K]
     out_alpha = fwd_ref[0, :, K].reshape(PT, 1)
+    g_dot_out = jnp.sum(g_rgb_mat * out_rgb_mat, -1, keepdims=True)
     ssum = fwd_ref[0, :, K + 1].reshape(PT, 1)
     smax = fwd_ref[0, :, K + 2].reshape(PT, 1)
     rssum = 1.0 / ssum
@@ -407,16 +419,17 @@ def _bwd_kernel(near_ref, far_ref, bbox_ref, data_ref, fwd_ref, gout_ref,
             jnp.where(rgb_valid, (z_norm - smax) / gamma, -jnp.inf)) * rssum
 
         wc = g["wc"]
-        C_rgb = jnp.zeros_like(soft)
-        for k in range(K):
-            col = (wc[0] * fd(_TEX + k) + wc[1] * fd(_TEX + K + k)
-                   + wc[2] * fd(_TEX + 2 * K + k))
-            C_rgb += g_rgb[k] * (col - out_rgb[k])
-            # texture grads: rows 9..9+3K-1 of grad block (vertex major)
-            for j in range(3):
-                gt = jnp.sum(zsm * wc[j] * g_rgb[k], axis=0, keepdims=True)
-                row = 9 + K * j + k
-                grad_ref[0, row:row + 1, pl.ds(c0, C)] += gt
+        # sum_k g_rgb_k*(col_k - out_rgb_k) with col_k = sum_j wc_j tex_jk,
+        # restructured as MXU matmuls over the K channels:
+        #   sum_j wc_j * (g_rgb @ T_j) - <g_rgb, out_rgb>
+        C_rgb = -g_dot_out
+        for j in range(3):
+            Tj = _tex_mat(data_ref, c0, C, K, j)             # [K, C]
+            C_rgb += wc[j] * _mm(g_rgb_mat, Tj, ((1,), (0,)))
+            # texture grads (rows 9..9+3K-1, vertex major), all K channels
+            # in one [PT,K]^T x [PT,C] contraction over pixels
+            gt = _mm(g_rgb_mat, zsm * wc[j], ((0,), (0,)))   # [K, C]
+            grad_ref[0, pl.ds(9 + K * j, K), pl.ds(c0, C)] += gt
         C_rgb = C_rgb * zsm
 
         # z grads: rows 6..8
