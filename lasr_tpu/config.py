@@ -28,6 +28,11 @@ class LasrConfig:
     learning_rate: float = 1e-4
     batch_size: int = 8          # frame pairs per device
     ngpu: int = 1                # data-parallel devices
+    hypo_shards: int = 1         # SPMD shards over the hypothesis axis
+    # set by the hypothesis-sharding wrapper on the per-shard model so
+    # global-H-dependent behavior (regularizer decay gating) is preserved
+    # when the local n_hypo is a slice; 0 = use n_hypo
+    n_hypo_global: int = 0
 
     # model / topology
     img_size: int = 256

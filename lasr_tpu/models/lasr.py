@@ -435,7 +435,9 @@ class LasrModel:
         aux["texture_loss"] = tex_sub.mean()
 
         # 4) shape smoothness (ref :449-459)
-        factor = 1.0 if H > 1 else reg_decay(epoch, cfg.num_epochs, 0.05, 0.5)
+        H_glob = cfg.n_hypo_global or H
+        factor = (1.0 if H_glob > 1
+                  else reg_decay(epoch, cfg.num_epochs, 0.05, 0.5))
         tri = (0.005 * laplacian_loss(pred_v, self.topology)
                * (4 ** cfg.subdivide) / 64.0
                + 5e-4 * flatten_loss(pred_v, self.topology)

@@ -92,6 +92,38 @@ def run(n_devices: int) -> None:
     assert np.isfinite(float(loss)), "multichip dry run produced NaN"
     print(f"dryrun_multichip({n_devices}): loss={float(loss):.4f} OK")
 
+    # hypothesis-parallel stage-0 step: n_hypo sharded over every device
+    # (parallel/hypo.py) — the batch-1 multi-hypothesis workload that
+    # data-parallelism cannot split
+    import dataclasses
+
+    from lasr_tpu.parallel.hypo import hypo_mesh, hypo_value_and_grad
+
+    hcfg = dataclasses.replace(cfg, n_hypo=n_devices,
+                               hypo_shards=n_devices, ngpu=1)
+    hmodel = LasrModel(hcfg)
+    hparams = hmodel.init_params
+    hopt_state = optimizer.init(hparams)
+    vg = hypo_value_and_grad(hcfg, hypo_mesh(n_devices), hmodel)
+
+    def hstep(params, opt_state, dev_arrays, pair_ids, rng, epoch, iters,
+              knobs):
+        batch = gather_batch(dev_arrays, pair_ids)
+        (loss, aux), grads = vg(params, batch, rng, epoch, iters, knobs)
+        grads, *_ = clip_and_guard(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux["current_nscore"]
+
+    hparams, hopt_state, hloss, nscore = jax.jit(hstep)(
+        hparams, hopt_state, dev_arrays, jnp.zeros((1,), jnp.int32),
+        jax.random.PRNGKey(1), jnp.asarray(0), jnp.asarray(0), knobs)
+    jax.block_until_ready(hloss)
+    assert np.isfinite(float(hloss)), "hypo-sharded dry run produced NaN"
+    assert nscore.shape == (n_devices,)
+    print(f"dryrun_multichip({n_devices}): hypo-sharded "
+          f"loss={float(hloss):.4f} OK")
+
 
 if __name__ == "__main__":
     import sys

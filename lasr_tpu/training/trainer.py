@@ -149,15 +149,25 @@ class Trainer:
     def _build_step(self):
         model, optimizer = self.model, self.optimizer
 
+        if self.cfg.hypo_shards > 1:
+            # stage-0 hypothesis-parallelism: partition the n_hypo axis over
+            # devices (parallel/hypo.py); grads come back in global layout
+            # so the optimizer/checkpoint path is unchanged
+            from ..parallel.hypo import hypo_mesh, hypo_value_and_grad
+            assert self.cfg.ngpu == 1, \
+                "hypo_shards composes with batch DP in a 2D mesh; not wired"
+            vg = hypo_value_and_grad(
+                self.cfg, hypo_mesh(self.cfg.hypo_shards), model)
+        else:
+            vg = jax.value_and_grad(model.loss_fn, has_aux=True)
+
         def update_step(params, opt_state, dev_arrays, pair_ids, rng, epoch,
                         iters, knobs):
             # dev_arrays passed as an argument: closure-captured device
             # arrays would be embedded in the HLO as constants and stall
             # compilation with constant folding
             batch = gather_batch(dev_arrays, pair_ids)
-            (loss, aux), grads = jax.value_and_grad(
-                model.loss_fn, has_aux=True)(params, batch, rng, epoch, iters,
-                                             knobs)
+            (loss, aux), grads = vg(params, batch, rng, epoch, iters, knobs)
             grads, gv, gc, finite = clip_and_guard(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -211,9 +221,7 @@ class Trainer:
                 ids, i = inp
                 rng = jax.random.fold_in(key, i)
                 batch = gather_batch(dev_arrays, ids)
-                (loss, aux), grads = jax.value_and_grad(
-                    model.loss_fn, has_aux=True)(params, batch, rng, epoch, i,
-                                                 knobs)
+                (loss, aux), grads = vg(params, batch, rng, epoch, i, knobs)
                 grads, gv, gc, finite = clip_and_guard(grads)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)

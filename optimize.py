@@ -43,6 +43,9 @@ flags.DEFINE_integer("num_epochs", 1000, "Number of epochs to train")
 flags.DEFINE_float("learning_rate", 1e-4, "learning rate")
 flags.DEFINE_integer("batch_size", 8, "frame pairs per device")
 flags.DEFINE_integer("ngpu", 1, "number of data-parallel devices")
+flags.DEFINE_integer("hypo_shards", 1,
+                     "SPMD shards over the camera-hypothesis axis "
+                     "(stage-0 scaling: n_hypo must divide evenly)")
 flags.DEFINE_integer("save_epoch_freq", 1, "save model every k epochs")
 flags.DEFINE_integer("img_size", 256, "image size")
 flags.DEFINE_integer("nz_feat", 200, "Encoded feature size")
@@ -105,6 +108,7 @@ def config_from_flags() -> LasrConfig:
         learning_rate=FLAGS.learning_rate,
         batch_size=FLAGS.batch_size,
         ngpu=FLAGS.ngpu,
+        hypo_shards=FLAGS.hypo_shards,
         save_epoch_freq=FLAGS.save_epoch_freq,
         img_size=FLAGS.img_size,
         nz_feat=FLAGS.nz_feat,
