@@ -9,6 +9,7 @@ Run while nothing else holds the TPU:  python exp/raster_sweep.py
 """
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -18,7 +19,19 @@ import jax.numpy as jnp
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 os.chdir(REPO)
+
+
+def _sync(x):
+    """Force actual execution: a 4-byte host read of a data-dependent scalar.
+
+    block_until_ready alone has been observed to return before execution
+    completes on the tunneled axon backend (bogus BENCH_r02 headline); a host
+    read of a value computed from the result cannot lie.
+    """
+    leaves = jax.tree_util.tree_leaves(x)
+    return float(jnp.sum(leaves[0].ravel()[:1]))
 
 
 def one(S, F, K, B, iters=8):
@@ -38,18 +51,18 @@ def one(S, F, K, B, iters=8):
         lambda v, t: soft_rasterize(v, t, cfg, near, far).sum(),
         argnums=(0, 1)))
 
-    jax.block_until_ready(fwd(fv, tex))
+    _sync(fwd(fv, tex))
     t0 = time.time()
     for _ in range(iters):
         out = fwd(fv, tex)
-    jax.block_until_ready(out)
+    _sync(out)
     f_fps = B * iters / (time.time() - t0)
 
-    jax.block_until_ready(bwd(fv, tex))
+    _sync(bwd(fv, tex))
     t0 = time.time()
     for _ in range(iters):
         g = bwd(fv, tex)
-    jax.block_until_ready(g)
+    _sync(g)
     fb_fps = B * iters / (time.time() - t0)
     return round(f_fps, 1), round(fb_fps, 1)
 

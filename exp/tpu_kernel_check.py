@@ -10,9 +10,12 @@ This is the only test-path that exercises the kernel with interpret=False on
 hardware (ref parity: the CUDA kernel's tests run on-device too,
 ref:third_party/softras/soft_renderer/cuda/soft_rasterize_cuda.cpp).
 """
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

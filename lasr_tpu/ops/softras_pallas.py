@@ -279,9 +279,16 @@ def _tex_mat(data_ref, c0, C, K, j):
 
 
 def _mm(a, b, dims):
-    """MXU matmul with f32 accumulation (texture contractions)."""
+    """MXU matmul for the texture contractions, full-f32.
+
+    precision=HIGHEST matters: the TPU MXU's default precision truncates f32
+    inputs to bf16 (~3 decimal digits), which showed up as ~2e-2 relative
+    drift in vertex gradients on hardware.  The contracted K dim is tiny
+    (3..9 channels) so the extra passes are cheap.
+    """
     return jax.lax.dot_general(a, b, (dims, ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _pixel_coords(t, PT, S):
