@@ -38,6 +38,19 @@ os.chdir(REPO)
 BASELINE_STEPS_PER_SEC = 2.5
 
 
+def _sync(x):
+    """End-of-timing barrier that cannot lie: a host read of a value
+    data-dependent on the computation.
+
+    jax.block_until_ready on the tunneled axon backend has been observed to
+    return before execution completes (the bogus 3218-steps/s BENCH_r02
+    headline); np.asarray forces a real device->host transfer of the result
+    itself, so the clock can only stop after the last step has executed.
+    """
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(np.asarray(jnp.sum(jnp.ravel(leaf)[:8])))
+
+
 def bench_rasterizer(image_size=256, n_faces=1280, batch=16, iters=5):
     """Renders/s of the soft rasterizer alone (fwd and fwd+bwd)."""
     from lasr_tpu.models.mesh import icosphere
@@ -59,18 +72,18 @@ def bench_rasterizer(image_size=256, n_faces=1280, batch=16, iters=5):
         lambda v, t: soft_rasterize(v, t, cfg, near, far).sum(),
         argnums=(0, 1)))
 
-    jax.block_until_ready(fwd(fv, ft))                   # compile
+    _sync(fwd(fv, ft))                                   # compile
     t0 = time.time()
     for _ in range(iters):
         out = fwd(fv, ft)
-    jax.block_until_ready(out)
+    _sync(out)
     fwd_fps = batch * iters / (time.time() - t0)
 
-    jax.block_until_ready(bwd(fv, ft))
+    _sync(bwd(fv, ft))
     t0 = time.time()
     for _ in range(iters):
         g = bwd(fv, ft)
-    jax.block_until_ready(g)
+    _sync(g)
     bwd_fps = batch * iters / (time.time() - t0)
     return fwd_fps, bwd_fps
 
@@ -100,16 +113,19 @@ def main():
     p, s, *_ = tr.epoch_scan(p, s, tr.dev_arrays, ids_all,
                              jnp.asarray(0, jnp.int32), jnp.asarray(0),
                              jnp.asarray(0, jnp.int32), tr.knobs())
-    jax.block_until_ready(p)
+    _sync(p)   # host read of the updated params: execution provably done
     compile_s = time.time() - t0
 
     t0 = time.time()
-    p, s, *_ = tr.epoch_scan(p, s, tr.dev_arrays, ids_all,
-                             jnp.asarray(1, jnp.int32), jnp.asarray(1),
-                             jnp.asarray(0, jnp.int32), tr.knobs())
-    jax.block_until_ready(p)
+    p, s, scal, *_ = tr.epoch_scan(p, s, tr.dev_arrays, ids_all,
+                                   jnp.asarray(1, jnp.int32), jnp.asarray(1),
+                                   jnp.asarray(0, jnp.int32), tr.knobs())
+    # stop the clock only after a host read of the LAST step's loss — a value
+    # data-dependent on every step in the scan chain.
+    last_loss = float(np.asarray(scal["total_loss"])[-1])
     dt = time.time() - t0
     sps = n / dt
+    assert np.isfinite(last_loss), f"bench run diverged: loss={last_loss}"
 
     raster_fwd, raster_bwd = bench_rasterizer()
 
@@ -120,7 +136,11 @@ def main():
     if os.path.exists(wt_path):
         for line in open(wt_path):
             rec = json.loads(line)
-            e2e[f"{rec['run']}_wall_s"] = rec["wall_s"]
+            # only completed runs count as results; a crashed run's elapsed
+            # time is not a wall-clock (BENCH_r02 published camel's rc=134
+            # crash at 326 s as if it had finished)
+            if rec.get("rc", 1) == 0:
+                e2e[f"{rec['run']}_wall_s"] = rec["wall_s"]
     warm_path = os.path.join("results", "spot3_warm.json")
     if os.path.exists(warm_path):
         e2e.update(json.load(open(warm_path)))
