@@ -124,6 +124,43 @@ def run(n_devices: int) -> None:
     print(f"dryrun_multichip({n_devices}): hypo-sharded "
           f"loss={float(hloss):.4f} OK")
 
+    # 2D (data x hypo) mesh over the PRODUCTION scanned-epoch program: the
+    # exact code path Trainer dispatches (training.trainer.build_programs),
+    # batch sharded over `data`, hypotheses shard_map'ed over `hypo`
+    from lasr_tpu.training.trainer import build_mesh, build_programs, \
+        make_optimizer
+
+    assert n_devices % 2 == 0, "2D mesh dryrun wants an even device count"
+    dp = n_devices // 2
+    cfg2 = dataclasses.replace(cfg, n_hypo=4, hypo_shards=2, ngpu=dp,
+                               batch_size=b)
+    mesh2 = build_mesh(cfg2)
+    assert dict(zip(mesh2.axis_names, mesh2.devices.shape)) == \
+        {"data": dp, "hypo": 2}
+    model2 = LasrModel(cfg2)
+    opt2 = make_optimizer(cfg2, steps_per_epoch=4)
+    params2 = model2.init_params
+    with jax.default_device(jax.devices()[0]):
+        opt_state2 = opt2.init(params2)
+    programs = build_programs(cfg2, model2, opt2, mesh2)
+
+    from lasr_tpu.parallel import put_sharded_schedule
+    steps = 3
+    sched = np.zeros((steps, dp * b), np.int32)
+    ids2 = put_sharded_schedule(sched, mesh2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh2, P())
+    params2, opt_state2 = jax.device_put((params2, opt_state2), repl)
+    params2, opt_state2, scals, nscore2, _ = programs["epoch_scan"](
+        params2, opt_state2, dev_arrays, ids2,
+        jnp.asarray(0, jnp.int32), jnp.asarray(0),
+        jnp.asarray(0, jnp.int32), knobs)
+    losses = np.asarray(scals["total_loss"])
+    assert losses.shape == (steps,) and np.isfinite(losses).all(), losses
+    assert np.asarray(nscore2).shape == (cfg2.n_hypo,)
+    print(f"dryrun_multichip({n_devices}): 2D mesh (data={dp} x hypo=2) "
+          f"scanned-epoch loss={losses[-1]:.4f} OK")
+
 
 if __name__ == "__main__":
     import sys

@@ -135,6 +135,10 @@ def hypo_value_and_grad(cfg, mesh: Mesh, model):
                 body, mesh=mesh,
                 in_specs=(pspecs, P(), P(), P(), P(), P()),
                 out_specs=((P(), aspecs), pspecs),
+                # only the hypo axis is manual: on a 2D (data, hypo) mesh the
+                # data axis stays with the automatic partitioner, so batch
+                # sharding + its gradient all-reduce compose with this map
+                axis_names={AXIS},
                 # vma tracking chokes on mixed carries inside the
                 # rasterizer's lax.scan; replicated outputs are explicitly
                 # pmean'ed above, so the check adds nothing here

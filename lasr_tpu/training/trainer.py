@@ -121,8 +121,12 @@ class Trainer:
         # from it directly, avoiding a device->host read that would queue
         # behind the (slow, tunneled) initial upload of the video arrays
         self._host_params = jax.tree.map(np.asarray, self.params)
+        # placement must match the step program's mesh: arrays committed to
+        # a single device conflict with a multi-device shard_map inside jit
+        # ("incompatible devices for jitted computation")
+        self.mesh = build_mesh(cfg)
         self.params, self.opt_state = jax.device_put(
-            (self.params, opt_state), jax.devices()[0])
+            (self.params, opt_state), self._rest_sharding())
         self.epoch_nscore = np.zeros(cfg.n_hypo, np.float32)
         if cfg.start_epoch > 0 and cfg.model_path:
             # mid-stage resume: restore the hypothesis scores accumulated by
@@ -146,125 +150,20 @@ class Trainer:
                     f.write(f"{k}: {v}\n")
 
     # ------------------------------------------------------------------
+    def _rest_sharding(self):
+        """Where params/opt_state live between steps: replicated over the
+        training mesh, or the first device on the single-device path."""
+        if self.mesh is None:
+            return jax.devices()[0]
+        from jax.sharding import NamedSharding, PartitionSpec
+        return NamedSharding(self.mesh, PartitionSpec())
+
     def _build_step(self):
-        model, optimizer = self.model, self.optimizer
-
-        if self.cfg.hypo_shards > 1:
-            # stage-0 hypothesis-parallelism: partition the n_hypo axis over
-            # devices (parallel/hypo.py); grads come back in global layout
-            # so the optimizer/checkpoint path is unchanged
-            from ..parallel.hypo import hypo_mesh, hypo_value_and_grad
-            assert self.cfg.ngpu == 1, \
-                "hypo_shards composes with batch DP in a 2D mesh; not wired"
-            vg = hypo_value_and_grad(
-                self.cfg, hypo_mesh(self.cfg.hypo_shards), model)
-        else:
-            vg = jax.value_and_grad(model.loss_fn, has_aux=True)
-
-        def update_step(params, opt_state, dev_arrays, pair_ids, rng, epoch,
-                        iters, knobs):
-            # dev_arrays passed as an argument: closure-captured device
-            # arrays would be embedded in the HLO as constants and stall
-            # compilation with constant folding
-            batch = gather_batch(dev_arrays, pair_ids)
-            (loss, aux), grads = vg(params, batch, rng, epoch, iters, knobs)
-            grads, gv, gc, finite = clip_and_guard(grads)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            scalars = {k: aux[k] for k in aux
-                       if k in ("total_loss", "mask_loss", "flow_rd_loss",
-                                "texture_loss", "triangle_loss",
-                                "lmotion_loss", "arap_loss", "cam_loss",
-                                "bone_loc_loss")}
-            scalars["grad_meanv_norm"] = gv
-            scalars["grad_cam_norm"] = gc
-            scalars["grads_finite"] = finite
-            images = {k: aux[k] for k in
-                      ("mask_pred", "flow_rd", "vis_mask", "texture_render")}
-            return params, opt_state, scalars, aux["current_nscore"], images
-
-        if self.cfg.ngpu > 1:
-            from ..parallel import data_mesh, shard_step
-            self.mesh = data_mesh(self.cfg.ngpu)
-            self.update_step = shard_step(update_step, self.mesh)
-        else:
-            self.mesh = None
-            self.update_step = jax.jit(update_step)
-        self._raw_step = update_step
-
-        IMAGE_KEYS = ["mask_pred", "flow_rd", "vis_mask", "texture_render",
-                      "verts_pre"]
-        if self.cfg.n_bones > 1:
-            IMAGE_KEYS += ["skin", "ctl_proj"]
-
-        def epoch_scan(params, opt_state, dev_arrays, ids_all, epoch_seed,
-                       epoch, iter0, knobs):
-            """One XLA program per epoch SEGMENT: lax.scan over a slice of
-            the step schedule.  Collapses per-step host dispatch (expensive
-            on a tunneled TPU) and lets XLA keep params/optimizer state
-            resident via donation.  The epoch is dispatched in bounded
-            segments (train() slices the schedule) because a single
-            multi-minute device execution can exceed the tunnel's worker
-            deadline — observed as 'TPU worker process crashed' ~2 min into
-            a 16-hypothesis full-epoch program.  `iter0` is the global step
-            index of the segment's first step, so annealing (iters<100),
-            nscore gating (i>100) and the i==0 image capture keep reference
-            semantics across segments.  The step-0 image panels (ref logs at
-            i==0) ride along as a scan carry selected at i==0.  The PRNG
-            key is built from a host int INSIDE the traced program: eager
-            PRNGKey/split ops at the host level each pay a tiny-program
-            compile + round-trip on the tunneled backend."""
-            key = jax.random.PRNGKey(epoch_seed)
-
-            def step(carry, inp):
-                params, opt_state, images = carry
-                ids, i = inp
-                rng = jax.random.fold_in(key, i)
-                batch = gather_batch(dev_arrays, ids)
-                (loss, aux), grads = vg(params, batch, rng, epoch, i, knobs)
-                grads, gv, gc, finite = clip_and_guard(grads)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                scal = {k: aux[k] for k in
-                        ("total_loss", "mask_loss", "flow_rd_loss",
-                         "texture_loss", "triangle_loss", "cam_loss",
-                         "lmotion_loss", "arap_loss", "bone_loc_loss")
-                        if k in aux}
-                scal["grads_finite"] = finite.astype(jnp.float32)
-                scal["grad_meanv_norm"] = gv
-                scal["grad_cam_norm"] = gc
-                # per-hypothesis sub-losses (ref:train_utils.py:335-339)
-                scal["mask_hypo"] = aux["mask_sub"].mean(0)      # [H]
-                scal["flow_hypo"] = aux["flow_sub"].mean(0)
-                scal["tex_hypo"] = aux["tex_sub"].mean(0)
-                nscore = jnp.where(i > 100, aux["current_nscore"], 0.0)
-                images = {k: jnp.where(i == 0, aux[k], images[k])
-                          for k in IMAGE_KEYS}
-                return (params, opt_state, images), (scal, nscore)
-
-            n2 = 2 * ids_all.shape[1]
-            H, S = self.cfg.n_hypo, self.cfg.img_size
-            K, V = self.cfg.n_bones, self.model.num_verts
-            images0 = {
-                "mask_pred": jnp.zeros((n2, H, S, S)),
-                "flow_rd": jnp.zeros((n2, H, S, S, 2)),
-                "vis_mask": jnp.zeros((n2, H, S, S)),
-                "texture_render": jnp.zeros((n2, H, 3, S, S)),
-                "verts_pre": jnp.zeros((n2, H, V, 3)),
-            }
-            if K > 1:
-                images0["skin"] = jnp.zeros((H, K - 1, V))
-                images0["ctl_proj"] = jnp.zeros((n2, H, K - 1, 2))
-            iters = iter0 + jnp.arange(ids_all.shape[0])
-            (params, opt_state, images), (scals, nscores) = jax.lax.scan(
-                step, (params, opt_state, images0), (ids_all, iters))
-            return params, opt_state, scals, nscores.sum(0), images
-
-        if self.cfg.ngpu > 1:
-            from ..parallel import shard_epoch_scan
-            self.epoch_scan = shard_epoch_scan(epoch_scan, self.mesh)
-        else:
-            self.epoch_scan = jax.jit(epoch_scan, donate_argnums=(0, 1))
+        programs = build_programs(self.cfg, self.model, self.optimizer,
+                                  self.mesh)
+        self.update_step = programs["update_step"]
+        self.epoch_scan = programs["epoch_scan"]
+        self._raw_step = programs["raw_step"]
 
     # ------------------------------------------------------------------
     def knobs(self):
@@ -393,7 +292,7 @@ class Trainer:
                               (cfg.n_hypo, cfg.n_bones - 1, 1)),
             "log_ctl": np.ones((cfg.n_hypo, cfg.n_bones - 1, 3), np.float32),
         }
-        self.params.update(jax.device_put(new, jax.devices()[0]))
+        self.params.update(jax.device_put(new, self._rest_sharding()))
         if self._host_params is not None:
             self._host_params.update({k: v.copy() for k, v in new.items()})
 
@@ -468,44 +367,50 @@ class Trainer:
                 ids_all = jnp.asarray(sched)
             self._host_params = None  # device params diverge from the mirror
 
-            # dispatch the epoch in k uniform segments of length L: bounds
-            # each device execution's wall-clock (the tunneled worker dies
-            # ~2 min into one execution) while keeping per-epoch dispatch
-            # count small.  Uniform L -> one compiled program regardless of
-            # k; up to k-1 trailing steps are dropped (<2% of an epoch).
-            # The cap scales inversely with per-step render count (a
-            # 16-hypothesis batch-3 step rasterizes 96 meshes, ~6x a spot3
-            # stage-0 step) so heavy stages stay under the deadline too.
+            # dispatch the epoch in k segments: bounds each device
+            # execution's wall-clock (the tunneled worker dies ~2 min into
+            # one execution) while keeping per-epoch dispatch count small.
+            # Segments have length L except a shorter final remainder, so
+            # every scheduled step runs (reference runs exactly the 200-step
+            # replicated schedule, ref:dataloader/vid.py:78-80); the
+            # remainder length is the same every epoch (n is fixed per
+            # stage), so it costs one extra compile per stage, amortized by
+            # the persistent cache.  The cap scales inversely with per-step
+            # render count (a 16-hypothesis batch-3 step rasterizes 96
+            # meshes, ~6x a spot3 stage-0 step) so heavy stages stay under
+            # the deadline too.
             renders = 2 * cfg.batch_size * cfg.n_hypo
             chunk = max(8, min(self.cfg.scan_chunk, 1600 // max(renders, 1)))
             n = ids_all.shape[0]
             k = max(1, -(-n // chunk))
             L = n // k
+            bounds = [(ci * L, (ci + 1) * L) for ci in range(k)]
+            if k * L < n:
+                bounds.append((k * L, n))
             scals_parts, images = [], None
             nscore_sum = np.zeros_like(self.epoch_nscore)
-            for ci in range(k):
-                seg = ids_all[ci * L:(ci + 1) * L]
+            for ci, (a, b) in enumerate(bounds):
+                seg = ids_all[a:b]
                 self.params, self.opt_state, scal_c, nscore_c, images_c = \
                     self.epoch_scan(self.params, self.opt_state,
                                     self.dev_arrays, seg, epoch_seed,
                                     jnp.asarray(epoch),
-                                    jnp.asarray(ci * L, jnp.int32),
+                                    jnp.asarray(a, jnp.int32),
                                     self.knobs())
                 scals_parts.append(scal_c)
                 nscore_sum += np.asarray(nscore_c)
                 self._beat()
-                if verbose and epoch == cfg.start_epoch and k > 1:
+                if verbose and epoch == cfg.start_epoch and len(bounds) > 1:
                     # chunk-level liveness on the very first epoch, where a
                     # slow upload/compile makes progress otherwise invisible
-                    print(f"    chunk {ci + 1}/{k} done "
+                    print(f"    chunk {ci + 1}/{len(bounds)} done "
                           f"({time.time() - t0:.0f}s elapsed)", flush=True)
                 if ci == 0:
                     images = images_c
-            # every scal leaf is scan-stacked with leading dim L
+            # every scal leaf is scan-stacked with leading dim (segment len)
             scals = jax.tree.map(
                 lambda *xs: np.concatenate([np.asarray(x) for x in xs], 0),
                 *scals_parts)
-            sched = sched[:k * L]
             self.epoch_nscore += nscore_sum
             if writer is not None:
                 self._log_images(writer, images, sched[0], optim_idx, epoch)
@@ -546,8 +451,12 @@ class Trainer:
         (~3s for 57MB vs ~8s per-leaf on the tunneled TPU; the read must
         finish before the next epoch_scan call donates these buffers)."""
         if self._host_params is not None:
-            # params have not been updated on device yet (pre-training save)
-            return self._host_params
+            # params have not been updated on device yet (pre-training save).
+            # Deep-copy: the async save pool serializes this tree while
+            # reinit_bones() may concurrently mutate the live mirror, which
+            # could nondeterministically leak post-reinit bones into
+            # pred_net_0.npz.
+            return jax.tree.map(np.array, self._host_params)
         leaves, treedef = jax.tree_util.tree_flatten(self.params)
         # ravel_pytree promotes all leaves to one dtype; a non-f32 leaf
         # would round-trip through float32 and silently corrupt.
@@ -559,10 +468,9 @@ class Trainer:
         flat_dev = self._ravel_fn(self.params)
         # chunked device->host read: one monolithic ~57MB transfer can wedge
         # a tunneled TPU transport indefinitely (observed on the axon
-        # backend).  Chunking alone is not sufficient either — a 16-hypothesis
-        # snapshot wedged with 8MB chunks — so each chunk read also runs
-        # under a watchdog and is re-issued on timeout (a fresh device_get
-        # opens a new transfer; the stuck one is abandoned with its thread).
+        # backend).  Each chunk read runs under a log-only slow-read monitor
+        # (_read_chunk): re-issuing a read concurrently aborts the runtime,
+        # so slow chunks are made visible but never raced.
         CH = 1_000_000
         n = flat_dev.shape[0]
         flat = np.concatenate([self._read_chunk(flat_dev, a, CH)
@@ -703,3 +611,146 @@ class Trainer:
                 jnp.asarray([near]), jnp.asarray([far]), force_ref=True)
             rgb = np.asarray(out)[0, :3]
         return (255 * np.clip(rgb, 0, 1)).astype(np.uint8).transpose(1, 2, 0)
+
+
+def build_mesh(cfg: LasrConfig):
+    """The training-step device mesh, or None for the single-device path.
+
+    One 2D (data, hypo) mesh covers every parallel configuration: batches
+    shard over `data` (XLA inserts the gradient all-reduce during jit
+    partitioning) and stage-0 camera hypotheses shard over `hypo` (an
+    explicit shard_map in parallel/hypo.py, with `data` left to the
+    automatic partitioner via axis_names).  A degenerate axis of size 1
+    costs nothing, so ngpu-only and hypo-only configs use the same mesh.
+    """
+    ndev = cfg.ngpu * cfg.hypo_shards
+    if ndev <= 1:
+        return None
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    assert len(devs) >= ndev, \
+        f"ngpu={cfg.ngpu} x hypo_shards={cfg.hypo_shards} needs {ndev} " \
+        f"devices, found {len(devs)}"
+    return Mesh(np.asarray(devs[:ndev]).reshape(cfg.ngpu, cfg.hypo_shards),
+                ("data", "hypo"))
+
+
+def build_programs(cfg: LasrConfig, model, optimizer, mesh):
+    """Compile-ready training programs (single step + scanned epoch).
+
+    Module-level so the multi-chip dryrun (parallel/dryrun.py) exercises the
+    PRODUCTION program construction — the same code path the Trainer runs —
+    on a virtual mesh, not a hand-rolled imitation of it.
+    """
+    if cfg.hypo_shards > 1:
+        # stage-0 hypothesis-parallelism: partition the n_hypo axis over
+        # devices (parallel/hypo.py); grads come back in global layout
+        # so the optimizer/checkpoint path is unchanged
+        from ..parallel.hypo import hypo_value_and_grad
+        vg = hypo_value_and_grad(cfg, mesh, model)
+    else:
+        vg = jax.value_and_grad(model.loss_fn, has_aux=True)
+
+    def update_step(params, opt_state, dev_arrays, pair_ids, rng, epoch,
+                    iters, knobs):
+            # dev_arrays passed as an argument: closure-captured device
+            # arrays would be embedded in the HLO as constants and stall
+            # compilation with constant folding
+            batch = gather_batch(dev_arrays, pair_ids)
+            (loss, aux), grads = vg(params, batch, rng, epoch, iters, knobs)
+            grads, gv, gc, finite = clip_and_guard(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            scalars = {k: aux[k] for k in aux
+                       if k in ("total_loss", "mask_loss", "flow_rd_loss",
+                                "texture_loss", "triangle_loss",
+                                "lmotion_loss", "arap_loss", "cam_loss",
+                                "bone_loc_loss")}
+            scalars["grad_meanv_norm"] = gv
+            scalars["grad_cam_norm"] = gc
+            scalars["grads_finite"] = finite
+            images = {k: aux[k] for k in
+                      ("mask_pred", "flow_rd", "vis_mask", "texture_render")}
+            return params, opt_state, scalars, aux["current_nscore"], images
+
+    if mesh is not None:
+        from ..parallel import shard_step
+        update_step_c = shard_step(update_step, mesh)
+    else:
+        update_step_c = jax.jit(update_step)
+
+    IMAGE_KEYS = ["mask_pred", "flow_rd", "vis_mask", "texture_render",
+                  "verts_pre"]
+    if cfg.n_bones > 1:
+        IMAGE_KEYS += ["skin", "ctl_proj"]
+
+    def epoch_scan(params, opt_state, dev_arrays, ids_all, epoch_seed,
+                   epoch, iter0, knobs):
+            """One XLA program per epoch SEGMENT: lax.scan over a slice of
+            the step schedule.  Collapses per-step host dispatch (expensive
+            on a tunneled TPU) and lets XLA keep params/optimizer state
+            resident via donation.  The epoch is dispatched in bounded
+            segments (train() slices the schedule) because a single
+            multi-minute device execution can exceed the tunnel's worker
+            deadline — observed as 'TPU worker process crashed' ~2 min into
+            a 16-hypothesis full-epoch program.  `iter0` is the global step
+            index of the segment's first step, so annealing (iters<100),
+            nscore gating (i>100) and the i==0 image capture keep reference
+            semantics across segments.  The step-0 image panels (ref logs at
+            i==0) ride along as a scan carry selected at i==0.  The PRNG
+            key is built from a host int INSIDE the traced program: eager
+            PRNGKey/split ops at the host level each pay a tiny-program
+            compile + round-trip on the tunneled backend."""
+            key = jax.random.PRNGKey(epoch_seed)
+
+            def step(carry, inp):
+                params, opt_state, images = carry
+                ids, i = inp
+                rng = jax.random.fold_in(key, i)
+                batch = gather_batch(dev_arrays, ids)
+                (loss, aux), grads = vg(params, batch, rng, epoch, i, knobs)
+                grads, gv, gc, finite = clip_and_guard(grads)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                scal = {k: aux[k] for k in
+                        ("total_loss", "mask_loss", "flow_rd_loss",
+                         "texture_loss", "triangle_loss", "cam_loss",
+                         "lmotion_loss", "arap_loss", "bone_loc_loss")
+                        if k in aux}
+                scal["grads_finite"] = finite.astype(jnp.float32)
+                scal["grad_meanv_norm"] = gv
+                scal["grad_cam_norm"] = gc
+                # per-hypothesis sub-losses (ref:train_utils.py:335-339)
+                scal["mask_hypo"] = aux["mask_sub"].mean(0)      # [H]
+                scal["flow_hypo"] = aux["flow_sub"].mean(0)
+                scal["tex_hypo"] = aux["tex_sub"].mean(0)
+                nscore = jnp.where(i > 100, aux["current_nscore"], 0.0)
+                images = {k: jnp.where(i == 0, aux[k], images[k])
+                          for k in IMAGE_KEYS}
+                return (params, opt_state, images), (scal, nscore)
+
+            n2 = 2 * ids_all.shape[1]
+            H, S = cfg.n_hypo, cfg.img_size
+            K, V = cfg.n_bones, model.num_verts
+            images0 = {
+                "mask_pred": jnp.zeros((n2, H, S, S)),
+                "flow_rd": jnp.zeros((n2, H, S, S, 2)),
+                "vis_mask": jnp.zeros((n2, H, S, S)),
+                "texture_render": jnp.zeros((n2, H, 3, S, S)),
+                "verts_pre": jnp.zeros((n2, H, V, 3)),
+            }
+            if K > 1:
+                images0["skin"] = jnp.zeros((H, K - 1, V))
+                images0["ctl_proj"] = jnp.zeros((n2, H, K - 1, 2))
+            iters = iter0 + jnp.arange(ids_all.shape[0])
+            (params, opt_state, images), (scals, nscores) = jax.lax.scan(
+                step, (params, opt_state, images0), (ids_all, iters))
+            return params, opt_state, scals, nscores.sum(0), images
+
+    if mesh is not None:
+        from ..parallel import shard_epoch_scan
+        epoch_scan_c = shard_epoch_scan(epoch_scan, mesh)
+    else:
+        epoch_scan_c = jax.jit(epoch_scan, donate_argnums=(0, 1))
+    return {"update_step": update_step_c, "epoch_scan": epoch_scan_c,
+            "raw_step": update_step}
