@@ -27,8 +27,15 @@ from lasr_tpu.models.lasr import LasrModel
 from lasr_tpu.ops import quat as quat_ops
 from lasr_tpu.utils import obj as obj_io
 
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--seq", default="syn-spot3f", help="DAVIS sequence dir name")
+_ap.add_argument("--dataname", default="spot3", help="configs/<name>.config")
+_args = _ap.parse_args()
+
 DAVIS = "database/DAVIS"
-SEQ = "syn-spot3f"
+SEQ = _args.seq
 
 # ---- GT object-frame mesh from frame-0 camera-space mesh ----
 verts_cam, faces = obj_io.load_obj(f"{DAVIS}/Meshes/Full-Resolution/{SEQ}/00000.obj")[:2]
@@ -38,7 +45,7 @@ R0 = np.asarray(quat_ops.quat_to_rotmat_wxyz(jnp.asarray(q0[None])))[0]
 T0 = np.array([cam0[1], cam0[2], cam0[7]])
 overts = (verts_cam - T0) @ R0          # R^T (v - T), column convention
 
-cfg = LasrConfig(dataname="spot3", n_bones=1, n_hypo=1, symmetric=False,
+cfg = LasrConfig(dataname=_args.dataname, n_bones=1, n_hypo=1, symmetric=False,
                  symmetric_loss=False, only_mean_sym=False, use_gtpose=True,
                  batch_size=1, num_epochs=5, checkpoint_dir="", opt_tex=True)
 ds = VideoDataset(cfg, "configs")
