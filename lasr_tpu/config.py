@@ -99,6 +99,15 @@ class LasrConfig:
     # encoder.npz overlays the ResNet trunk, alexnet.npz the perceptual net.
     pretrained_dir: str = ""
 
+    # camera initialization: "flow_chain" pre-rotates each frame's root
+    # camera by a rotation chained from silhouette+flow Procrustes fits
+    # (preprocess/caminit.py).  Weights-free substitute for the camera
+    # coherence the reference inherits from its pretrained encoder; on
+    # small-inter-frame-motion sequences the energy alone cannot identify
+    # cameras (deformation absorbs the motion).  "none" = reference
+    # behavior.  Later stages inherit the chain from the checkpoint.
+    cam_init: str = "none"
+
     # runtime
     n_data_workers: int = 1
     use_pallas: bool | None = None   # None = auto (TPU yes, CPU interpret off)

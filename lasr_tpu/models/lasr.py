@@ -62,8 +62,13 @@ class LasrModel:
                  mean_shape: np.ndarray | None = None,
                  faces: np.ndarray | None = None,
                  tex_init: np.ndarray | None = None,
-                 n_frames: int | None = None):
+                 n_frames: int | None = None,
+                 cam_chain: np.ndarray | None = None):
         self.cfg = cfg
+        # flow-chained per-frame camera pre-rotations [n_frames, 3, 3]
+        # (preprocess/caminit.py); None = reference behavior
+        self.cam_chain = None if cam_chain is None \
+            else np.asarray(cam_chain, np.float32)
         # init-time randomness is all host numpy — construction must not
         # touch the accelerator (see create_nets)
         ss = np.random.SeedSequence(cfg.seed if seed is None else seed)
@@ -246,6 +251,14 @@ class LasrModel:
         ppoint = jnp.concatenate([ppoint[:b], ppa2 - ppb[b:] - 1.0], 0)
 
         M = codes["rotmat"]                                      # [2b, H, K, 3, 3]
+
+        # -- flow-chained camera init: pre-rotate the root by the per-frame
+        # chain (cfg.cam_init, preprocess/caminit.py).  v_cam = M_pred
+        # (R_chain v_obj): the heads learn a correction in chain-camera
+        # space, starting at the chain estimate instead of near-identity.
+        if self.cam_chain is not None:
+            chain = jnp.asarray(self.cam_chain)[batch["frameid"]]  # [2b,3,3]
+            M = M.at[:, :, 0].set(M[:, :, 0] @ chain[:, None])
 
         # -- pose-noise annealing (ref :220-235)
         k_q, k_s = jax.random.split(rng)

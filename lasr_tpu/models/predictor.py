@@ -83,10 +83,13 @@ class MeshPredictor:
         path = model_path or os.path.join(
             cfg.save_dir, f"pred_net_{cfg.model_path or 'latest'}.npz")
         mean_shape, faces, patch = ckpt.load_with_surgery_eval(path, cfg)
+        _, meta = ckpt.load_raw(path)
+        cam_chain = meta.get("__cam_chain")
         if cfg.symmetric:
-            self.model = LasrModel(cfg)
+            self.model = LasrModel(cfg, cam_chain=cam_chain)
         else:
-            self.model = LasrModel(cfg, mean_shape=mean_shape, faces=faces)
+            self.model = LasrModel(cfg, mean_shape=mean_shape, faces=faces,
+                                   cam_chain=cam_chain)
         # one up-front transfer: init_params may hold host (numpy) leaves,
         # and per-frame predict() calls should not re-upload the weights
         self.params = jax.device_put(
@@ -111,6 +114,12 @@ class MeshPredictor:
 
         pred_v, tex_rgb = model.mean_shape(params)            # [1, V, 3]
         body_rot = M[:, 0]
+        if model.cam_chain is not None:
+            # same flow-chain pre-rotation the checkpoint was trained with
+            nf = model.cam_chain.shape[0]
+            chain = jnp.asarray(model.cam_chain)[
+                jnp.clip(frameid, 0, nf - 1)][0]              # [3, 3]
+            body_rot = body_rot @ chain
         body_trans = jnp.concatenate([trans[:, 0], depth[:, :1]], -1)
 
         if K > 1:
@@ -143,7 +152,8 @@ class MeshPredictor:
             "verts": verts[0], "verts_vp2": verts_vp2[0],
             "verts_vp3": verts_vp3[0], "tex": tex_rgb[0],
             "scale": scale, "trans": trans, "ppoint": ppoint[0],
-            "depth": depth, "quat": quat_ops.rotmat_to_quat_wxyz(M[0, 0]),
+            "depth": depth,
+            "quat": quat_ops.rotmat_to_quat_wxyz(body_rot[0]),
             "raw_scale": codes["scale"][0, 0], "raw_pp": codes["ppoint"][0],
         }
         if K > 1:
@@ -170,7 +180,9 @@ class MeshPredictor:
         from ..data.video import IMAGENET_MEAN, IMAGENET_STD
         inp = ((img.transpose(1, 2, 0) - IMAGENET_MEAN) / IMAGENET_STD
                ).transpose(2, 0, 1)[None]
-        nf = params["frame_code"].shape[0] if "frame_code" in params else 1
+        nf = params["frame_code"].shape[0] if "frame_code" in params else (
+            self.model.cam_chain.shape[0]
+            if self.model.cam_chain is not None else 1)
         core = jax.tree.map(np.asarray, self._core(
             params, jnp.asarray(inp), jnp.asarray(1.0 / alp),
             jnp.asarray([min(frameid, nf - 1)], jnp.int32)))

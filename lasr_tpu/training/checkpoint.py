@@ -61,6 +61,10 @@ def save_checkpoint(path: str, params, model, epoch_nscore,
     flat["__epoch_nscore"] = np.asarray(epoch_nscore)
     flat["__n_hypo"] = np.asarray(model.cfg.n_hypo)
     flat["__n_bones"] = np.asarray(model.cfg.n_bones)
+    if getattr(model, "cam_chain", None) is not None:
+        # later stages + the predictor must apply the same per-frame camera
+        # pre-rotations the run was trained with
+        flat["__cam_chain"] = np.asarray(model.cam_chain)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez(path, **flat)
 

@@ -90,16 +90,19 @@ class Trainer:
         # model construction, with checkpoint surgery for stage transitions
         n_frames = int(max(self.dataset.meta["id0"].max(),
                            self.dataset.meta["id1"].max())) + 1
+        cam_chain = self._build_cam_chain(n_frames)
         patch = None
         if cfg.model_path:
             mean_shape, faces, patch = ckpt.load_with_surgery(cfg.model_path, cfg)
             if not cfg.symmetric:
                 self.model = LasrModel(cfg, mean_shape=mean_shape, faces=faces,
-                                       n_frames=n_frames)
+                                       n_frames=n_frames, cam_chain=cam_chain)
             else:
-                self.model = LasrModel(cfg, n_frames=n_frames)
+                self.model = LasrModel(cfg, n_frames=n_frames,
+                                       cam_chain=cam_chain)
         else:
-            self.model = LasrModel(cfg, n_frames=n_frames)
+            self.model = LasrModel(cfg, n_frames=n_frames,
+                                   cam_chain=cam_chain)
         self.params = self.model.init_params
         if cfg.pretrained_dir:
             self._load_pretrained(cfg.pretrained_dir)
@@ -148,6 +151,31 @@ class Trainer:
             with open(os.path.join(cfg.save_dir, "opts.log"), "w") as f:
                 for k, v in vars(cfg).items():
                     f.write(f"{k}: {v}\n")
+
+    # ------------------------------------------------------------------
+    def _build_cam_chain(self, n_frames: int):
+        """Per-frame camera pre-rotations for cfg.cam_init (or inherited
+        from the previous stage's checkpoint).  Host-side, deterministic."""
+        cfg = self.cfg
+        if cfg.cam_init == "flow_chain":
+            from ..preprocess.caminit import chain_for_sequence
+            datapath = self.dataset.seq.datapath.rstrip("/")
+            seqdir = os.path.basename(datapath)
+            davis_root = datapath.split("/JPEGImages")[0]
+            chain = chain_for_sequence(davis_root, seqdir)
+            if len(chain) < n_frames:   # missing trailing flow: hold last
+                pad = np.repeat(chain[-1:], n_frames - len(chain), 0)
+                chain = np.concatenate([chain, pad])
+            print(f"cam_init=flow_chain: {len(chain)} per-frame rotations "
+                  f"from {seqdir} silhouette/flow")
+            return chain[:n_frames].astype(np.float32)
+        if cfg.cam_init != "none":
+            raise ValueError(f"unknown cam_init '{cfg.cam_init}'")
+        if cfg.model_path:
+            _, meta = ckpt.load_raw(cfg.model_path)
+            if "__cam_chain" in meta:
+                return np.asarray(meta["__cam_chain"], np.float32)
+        return None
 
     # ------------------------------------------------------------------
     def _rest_sharding(self):

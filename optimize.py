@@ -79,6 +79,9 @@ flags.DEFINE_boolean("frame_code", False,
                      "features (offline substitute for pretrained per-frame "
                      "feature diversity)")
 flags.DEFINE_float("frame_code_norm", 24.0, "init norm of per-frame codes")
+flags.DEFINE_string("cam_init", "none",
+                    "per-frame camera initialization: none | flow_chain "
+                    "(silhouette+flow Procrustes chain, preprocess/caminit.py)")
 flags.DEFINE_integer("flow_rampup", 0,
                      "epochs until the flow loss reaches full weight "
                      "(0 = always full weight, reference behavior)")
@@ -135,6 +138,7 @@ def config_from_flags() -> LasrConfig:
         pretrained_dir=FLAGS.pretrained_dir,
         frame_code=FLAGS.frame_code,
         frame_code_norm=FLAGS.frame_code_norm,
+        cam_init=FLAGS.cam_init,
         flow_rampup=FLAGS.flow_rampup,
     )
 

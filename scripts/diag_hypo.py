@@ -88,6 +88,10 @@ def main():
         params = ckpt._unflatten(flat)
         codes = predict(params, frames, np.asarray(order, np.int32))
         M = np.asarray(codes["rotmat"])[:, :, 0]               # [nf, H, 3, 3]
+        if "__cam_chain" in meta:
+            # compose the flow-chain pre-rotation the run trained with
+            chain = np.asarray(meta["__cam_chain"])[order]     # [nf, 3, 3]
+            M = M @ chain[:, None]
         scores = np.asarray(meta["__epoch_nscore"])
 
         def ang(R):
