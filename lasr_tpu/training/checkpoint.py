@@ -47,8 +47,14 @@ def _unflatten(flat: dict):
 
 
 def save_checkpoint(path: str, params, model, epoch_nscore,
-                    epochs_done: int = 0) -> None:
+                    epochs_done: int = 0, opt_leaves=None) -> None:
     flat = _flatten(params)
+    if opt_leaves is not None:
+        # optimizer (Adam) moments + schedule counts, stored by leaf index
+        # (the optax state is not a plain dict); restored on same-stage
+        # resume so a supervisor restart continues with true moments
+        for i, leaf in enumerate(opt_leaves):
+            flat[f"__opt_leaf_{i:03d}"] = np.asarray(leaf)
     optim = int(np.argmax(-np.asarray(epoch_nscore)))
     flat["__epochs_done"] = np.asarray(epochs_done)
     # derived artifacts computed host-side (one bulk device read via

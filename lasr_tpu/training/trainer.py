@@ -124,12 +124,7 @@ class Trainer:
         # from it directly, avoiding a device->host read that would queue
         # behind the (slow, tunneled) initial upload of the video arrays
         self._host_params = jax.tree.map(np.asarray, self.params)
-        # placement must match the step program's mesh: arrays committed to
-        # a single device conflict with a multi-device shard_map inside jit
-        # ("incompatible devices for jitted computation")
         self.mesh = build_mesh(cfg)
-        self.params, self.opt_state = jax.device_put(
-            (self.params, opt_state), self._rest_sharding())
         self.epoch_nscore = np.zeros(cfg.n_hypo, np.float32)
         if cfg.start_epoch > 0 and cfg.model_path:
             # mid-stage resume: restore the hypothesis scores accumulated by
@@ -139,12 +134,35 @@ class Trainer:
                     len(meta["__epoch_nscore"]) == cfg.n_hypo:
                 self.epoch_nscore = np.asarray(
                     meta["__epoch_nscore"], np.float32).copy()
+            # restore optimizer moments + schedule counts so a supervisor
+            # restart continues the true Adam trajectory (same stage only:
+            # shape mismatches mean a stage transition -> fresh moments)
+            opt_keys = sorted(k for k in meta if k.startswith("__opt_leaf_"))
+            if opt_keys:
+                leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+                saved = [meta[k] for k in opt_keys]
+                if len(saved) == len(leaves) and all(
+                        s.shape == l.shape for s, l in zip(saved, leaves)):
+                    opt_state = jax.tree_util.tree_unflatten(
+                        treedef, [s.astype(l.dtype)
+                                  for s, l in zip(saved, leaves)])
+                    print("resume: optimizer state restored "
+                          f"({len(saved)} leaves)")
+                else:
+                    print("resume: optimizer state in checkpoint does not "
+                          "match this stage; starting with fresh moments")
+        # placement must match the step program's mesh: arrays committed to
+        # a single device conflict with a multi-device shard_map inside jit
+        # ("incompatible devices for jitted computation")
+        self.params, self.opt_state = jax.device_put(
+            (self.params, opt_state), self._rest_sharding())
         self._build_step()
         from concurrent.futures import ThreadPoolExecutor
         self._save_pool = ThreadPoolExecutor(max_workers=1,
                                              thread_name_prefix="ckpt_save")
         self._save_futures = []
         self._ravel_fn = None
+        self._ravel_opt_fn = None
         self.log = None
         if cfg.checkpoint_dir:
             os.makedirs(cfg.save_dir, exist_ok=True)
@@ -538,12 +556,43 @@ class Trainer:
         finally:
             done.set()
 
+    def _snapshot_opt_host(self):
+        """Optimizer-state snapshot: f32 leaves (Adam moments) as one
+        raveled chunk-watched device read, non-f32 leaves (schedule counts,
+        scalars) as individual tiny reads.  Ordered like tree_flatten."""
+        leaves, _ = jax.tree_util.tree_flatten(self.opt_state)
+        f32_idx = tuple(i for i, l in enumerate(leaves)
+                        if l.dtype == jnp.float32 and l.size > 0)
+        if self._ravel_opt_fn is None:
+            def _ravel(t):
+                ls = jax.tree_util.tree_leaves(t)
+                return jnp.concatenate([jnp.ravel(ls[i]) for i in f32_idx])
+            self._ravel_opt_fn = jax.jit(_ravel)
+        flat_dev = self._ravel_opt_fn(self.opt_state)
+        CH = 1_000_000
+        n = flat_dev.shape[0]
+        flat = np.concatenate([self._read_chunk(flat_dev, a, CH)
+                               for a in range(0, n, CH)]) if n > CH \
+            else np.asarray(flat_dev)
+        out, pos = [], 0
+        f32_set = set(f32_idx)
+        for i, l in enumerate(leaves):
+            if i in f32_set:
+                out.append(flat[pos: pos + l.size].reshape(l.shape))
+                pos += l.size
+            else:
+                out.append(np.asarray(l))
+        return out
+
     def save(self, *labels: str, epochs_done: int = 0):
         """Checkpoint write: ONE device read for all labels (donation
         safety requires it to be synchronous); the npz serialization +
         disk writes run off-thread and overlap the next epoch's device
         work."""
+        pre_training = self._host_params is not None
         host_params = self._snapshot_host()
+        # opt moments are all-zero before training starts; skip the read
+        opt_leaves = None if pre_training else self._snapshot_opt_host()
         nscore = self.epoch_nscore.copy()
         pending = []
         for f in self._save_futures:
@@ -554,9 +603,11 @@ class Trainer:
         self._save_futures = pending
         for label in labels:
             path = os.path.join(self.cfg.save_dir, f"pred_net_{label}.npz")
+            # moments ride only on 'latest' (the resume target): numbered
+            # epoch snapshots stay lean on disk
             self._save_futures.append(self._save_pool.submit(
                 ckpt.save_checkpoint, path, host_params, self.model, nscore,
-                epochs_done))
+                epochs_done, opt_leaves if label == "latest" else None))
 
     def finish_saves(self):
         for f in self._save_futures:

@@ -11,10 +11,10 @@ batchsize=2
 ngpu=${NGPU:-1}
 
 dataname=r${seqname}
-python optimize.py --name=$logname-0 --checkpoint_dir $checkpoint_dir --only_mean_sym --nouse_gtpose --subdivide 3 --n_bones 21 --n_hypo 16 --num_epochs 20 --dataname $dataname --ngpu $ngpu --batch_size $batchsize --opt_tex yes
-python optimize.py --name=$logname-1 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 26 --n_faces 1600 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-0/pred_net_latest.npz --dataname $dataname --ngpu $ngpu --batch_size $batchsize --opt_tex yes
-python optimize.py --name=$logname-2 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 31 --n_faces 1920 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-1/pred_net_latest.npz --dataname $dataname --ngpu $ngpu --batch_size $batchsize --opt_tex yes
-python optimize.py --name=$logname-3 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 31 --n_faces 2240 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-2/pred_net_latest.npz --dataname $dataname --ngpu $ngpu --batch_size $batchsize --opt_tex yes
-python optimize.py --name=$logname-4 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 36 --n_faces 2560 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-3/pred_net_latest.npz --dataname $dataname --ngpu $ngpu --batch_size $batchsize --opt_tex yes
+python optimize.py --name=$logname-0 --checkpoint_dir $checkpoint_dir --only_mean_sym --nouse_gtpose --subdivide 3 --n_bones 21 --n_hypo 16 --num_epochs 20 --dataname $dataname --ngpu $ngpu --batch_size $batchsize --opt_tex yes --cam_init flow_chain
+python optimize.py --name=$logname-1 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 26 --n_faces 1600 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-0/pred_net_latest.npz --dataname $dataname --ngpu $ngpu --batch_size $batchsize --opt_tex yes --cam_init flow_chain
+python optimize.py --name=$logname-2 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 31 --n_faces 1920 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-1/pred_net_latest.npz --dataname $dataname --ngpu $ngpu --batch_size $batchsize --opt_tex yes --cam_init flow_chain
+python optimize.py --name=$logname-3 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 31 --n_faces 2240 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-2/pred_net_latest.npz --dataname $dataname --ngpu $ngpu --batch_size $batchsize --opt_tex yes --cam_init flow_chain
+python optimize.py --name=$logname-4 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 36 --n_faces 2560 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-3/pred_net_latest.npz --dataname $dataname --ngpu $ngpu --batch_size $batchsize --opt_tex yes --cam_init flow_chain
 dataname=${seqname}
-python optimize.py --name=$logname-5 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 36 --n_faces 2880 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-4/pred_net_latest.npz --dataname $dataname --ngpu $ngpu --batch_size $batchsize --opt_tex yes --sigval 1e-5
+python optimize.py --name=$logname-5 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 36 --n_faces 2880 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-4/pred_net_latest.npz --dataname $dataname --ngpu $ngpu --batch_size $batchsize --opt_tex yes --sigval 1e-5 --cam_init flow_chain

@@ -152,10 +152,18 @@ def test_train_chunked_and_resume(tmp_path):
     assert os.path.exists(latest)
     ck = np.load(latest)
     assert int(ck["__epochs_done"]) == 2
+    # Adam moments persisted on the resume target
+    opt_keys = [k for k in ck.files if k.startswith("__opt_leaf_")]
+    assert opt_keys, "optimizer state missing from pred_net_latest"
+    assert any(np.abs(ck[k]).max() > 0 for k in opt_keys)
 
     cfg2 = small_cfg(tmp_path, num_epochs=3, scan_chunk=2, epoch_steps=4,
                      start_epoch=2, model_path=latest)
     tr2 = Trainer(cfg2)
+    # restored moments, not fresh zeros
+    resumed = jax.tree_util.tree_leaves(tr2.opt_state)
+    assert max(float(jnp.abs(l).max()) for l in resumed
+               if l.dtype == jnp.float32) > 0
     tr2.train(verbose=False)
     ck2 = np.load(os.path.join(cfg2.save_dir, "pred_net_latest.npz"))
     assert int(ck2["__epochs_done"]) == 3
