@@ -1,42 +1,63 @@
 #!/bin/bash
 # Round-3 TPU queue: waits for the running matrix (pika) to release the
-# chip, then reruns the benchmark matrix with flow-chain camera init and
-# the parity-fixed kernel.  Records wall-clocks to log/matrix_walltime.jsonl
-# with distinct run names so round-2 artifacts are preserved.
+# chip, then: kernel parity check, in-framework flow-net training, spot3
+# re-confirmation, dog15 + camel with flow-chain camera init (camel also
+# with flow-net flow if it validates), warm timing, and a pika rerun.
+# Wall-clocks append to log/matrix_walltime.jsonl under round-3 names.
 cd /root/repo
 mkdir -p log results
 
 record() { echo "{\"run\": \"$1\", \"wall_s\": $2, \"rc\": $3}" >> log/matrix_walltime.jsonl; }
 
-# wait for any prior matrix run to release the TPU
 while pgrep -f "run_matrix.sh" > /dev/null 2>&1; do sleep 60; done
 sleep 30
 
 # 0) hardware kernel parity at HEAD (gates everything)
-timeout 600 python exp/tpu_kernel_check.py > /tmp/r3-kernel.log 2>&1
+timeout 900 python exp/tpu_kernel_check.py > /tmp/r3-kernel.log 2>&1
 echo "kernel: $(tail -1 /tmp/r3-kernel.log)"
 
-# 1) spot3 re-confirmation with the current kernel (~20 min)
+# 1) in-framework flow net: generate pairs on the chip, train, validate
 s=$SECONDS
 ( set -e
-  bash exp/run_spot3.sh spot3r3
+  timeout 3600 python scripts/gen_flow_data.py --n 1600 --device tpu
+  timeout 2400 python scripts/train_flow.py --iters 4000 --device tpu
+) > /tmp/r3-flownet.log 2>&1
+record flownet $((SECONDS - s)) $?
+
+# 2) spot3 re-confirmation with the current kernel (~20 min)
+s=$SECONDS
+( set -e
+  timeout 3600 bash exp/run_spot3.sh spot3r3
 ) > /tmp/r3-spot3.log 2>&1
 record spot3r3 $((SECONDS - s)) $?
 
-# 2) dog15 full schedule with flow-chain camera init (~2h)
+# 3) dog15 full schedule with flow-chain camera init (~2h)
 s=$SECONDS
 ( set -e
-  bash scripts/dog15.sh dogc
+  timeout 12000 bash scripts/dog15.sh dogc
   bash scripts/extract.sh dogc-4 dog15 36 2560
   python scripts/eval_mesh.py --testdir log/dogc-4 \
     --gtdir database/DAVIS/Meshes/Full-Resolution/syn-dog-15 | tail -2
 ) > /tmp/r3-dog15.log 2>&1
 record dog15c $((SECONDS - s)) $?
 
-# 3) camel full schedule with flow-chain camera init (~2h)
+# 4) camel: regenerate flow with the flow net when it beats DIS, then the
+# full template schedule with flow-chain init (~2h)
 s=$SECONDS
 ( set -e
-  bash scripts/template.sh camel2
+  good=$(python -c "
+import json
+try:
+    v = json.load(open('results/flownet_val.json'))['mean_epe_mask']
+    print('yes' if v < 12.0 else 'no')
+except Exception:
+    print('no')")
+  if [ "$good" = yes ]; then
+    echo "flownet validated - regenerating camel flow"
+    python preprocess/auto_gen.py --seqname camel --backend flownet
+    python preprocess/auto_gen.py --seqname camel --backend flownet --out camel --force
+  fi
+  timeout 14000 bash scripts/template.sh camel camel2
   bash scripts/extract.sh camel2-5 camel 36 2880
   bash scripts/render_result.sh log/camel2-5
   python scripts/eval_mesh.py --testdir log/camel2-5 \
@@ -45,9 +66,29 @@ s=$SECONDS
 ) > /tmp/r3-camel.log 2>&1
 record camel2 $((SECONDS - s)) $?
 
-# 4) warm-cache spot3 timing artifact (~15 min)
+# 5) warm-cache spot3 timing artifact (~15 min)
 s=$SECONDS
-bash exp/time_spot3_warm.sh > /tmp/r3-warm.log 2>&1
+timeout 3600 bash exp/time_spot3_warm.sh > /tmp/r3-warm.log 2>&1
 record spot3warm $((SECONDS - s)) $?
+
+# 6) pika rerun with flow-chain init (+flow-net flow when validated)
+s=$SECONDS
+( set -e
+  good=$(python -c "
+import json
+try:
+    v = json.load(open('results/flownet_val.json'))['mean_epe_mask']
+    print('yes' if v < 12.0 else 'no')
+except Exception:
+    print('no')")
+  if [ "$good" = yes ]; then
+    python preprocess/auto_gen.py --seqname pika --backend flownet
+    python preprocess/auto_gen.py --seqname pika --backend flownet --out pika --force
+  fi
+  timeout 14000 bash scripts/template.sh pika pika2
+  bash scripts/extract.sh pika2-5 pika 36 2880
+  bash scripts/render_result.sh log/pika2-5
+) > /tmp/r3-pika.log 2>&1
+record pika2 $((SECONDS - s)) $?
 
 echo R3-QUEUE-DONE

@@ -1,0 +1,221 @@
+"""In-framework optical flow network (PWC-lite, flax).
+
+Role: the reference pipeline's flow comes from VCN-robust with distributed
+pretrained weights (ref:preprocess/auto_gen.py:84-191,
+ref:models/VCN_exp/...); no such weights are obtainable offline, and the
+classical fallback (DIS) measures 19px EPE on 35px motion on the synthetic
+fixtures (results/flow_epe_syn-dog-15.json) — too noisy to supervise
+camera search.  This is the weights-free answer: a compact coarse-to-fine
+flow CNN trained *in-repo* on rendered pairs with exact flow
+(scripts/gen_flow_data.py + scripts/train_flow.py), used as an auto_gen
+backend (--flow_backend flownet).
+
+TPU-first design notes: static shapes everywhere (the 9x9 local
+correlation is an unrolled stack of slices XLA fuses into one kernel),
+NHWC layout, all convs MXU-eligible, and the whole forward is one jittable
+function of (params, im0, im1).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bilinear_sample(img, x, y):
+    """img [N, H, W, C]; x, y [N, H, W] absolute pixel coords -> [N, H, W, C].
+    Zero padding outside."""
+    N, H, W, C = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+
+    def gather(yy, xx):
+        yi = jnp.clip(yy.astype(jnp.int32), 0, H - 1)
+        xi = jnp.clip(xx.astype(jnp.int32), 0, W - 1)
+        batch = jnp.arange(N)[:, None, None]
+        val = img[batch, yi, xi]
+        valid = ((yy >= 0) & (yy <= H - 1) & (xx >= 0) & (xx <= W - 1))
+        return val * valid[..., None]
+
+    return ((1 - wy) * (1 - wx) * gather(y0, x0)
+            + (1 - wy) * wx * gather(y0, x0 + 1)
+            + wy * (1 - wx) * gather(y0 + 1, x0)
+            + wy * wx * gather(y0 + 1, x0 + 1))
+
+
+def warp(img, flow):
+    """Backward-warp img by flow: out(p) = img(p + flow(p))."""
+    N, H, W, _ = img.shape
+    yy, xx = jnp.mgrid[:H, :W]
+    x = xx[None] + flow[..., 0]
+    y = yy[None] + flow[..., 1]
+    return bilinear_sample(img, x, y)
+
+
+def local_corr(f0, f1, radius: int = 4):
+    """Normalized local correlation volume [N, H, W, (2r+1)^2]."""
+    N, H, W, C = f0.shape
+    r = radius
+    p = jnp.pad(f1, ((0, 0), (r, r), (r, r), (0, 0)))
+    rows = []
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            rows.append(jnp.mean(
+                f0 * jax.lax.dynamic_slice(
+                    p, (0, dy, dx, 0), (N, H, W, C)), -1))
+    return jnp.stack(rows, -1) / np.sqrt(C)
+
+
+class ConvBlock(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
+                    padding=1)(x)
+        return nn.leaky_relu(x, 0.1)
+
+
+class Pyramid(nn.Module):
+    """Shared-weight feature pyramid: levels at 1/4, 1/8, 1/16."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBlock(16, 2)(x)
+        x = ConvBlock(16)(x)
+        x = ConvBlock(32, 2)(x)
+        l4 = ConvBlock(32)(x)
+        x = ConvBlock(64, 2)(l4)
+        l8 = ConvBlock(64)(x)
+        x = ConvBlock(96, 2)(l8)
+        l16 = ConvBlock(96)(x)
+        return [l16, l8, l4]          # coarse -> fine
+
+
+class Estimator(nn.Module):
+    """Per-level flow delta from correlation + features + current flow."""
+
+    @nn.compact
+    def __call__(self, corr, feat, flow):
+        x = jnp.concatenate([corr, feat, flow], -1)
+        x = ConvBlock(96)(x)
+        x = ConvBlock(64)(x)
+        x = ConvBlock(32)(x)
+        return nn.Conv(2, (3, 3), padding=1,
+                       kernel_init=nn.initializers.normal(1e-3))(x)
+
+
+def _up2(flow):
+    N, H, W, C = flow.shape
+    return 2.0 * jax.image.resize(flow, (N, 2 * H, 2 * W, C), "bilinear")
+
+
+class FlowNet(nn.Module):
+    """Coarse-to-fine flow: returns per-level predictions, finest last,
+    each in its own pixel scale."""
+    radius: int = 4
+
+    @nn.compact
+    def __call__(self, im0, im1):
+        pyr = Pyramid()
+        f0s, f1s = pyr(im0), pyr(im1)
+        N, Hc, Wc, _ = f0s[0].shape
+        flow = jnp.zeros((N, Hc, Wc, 2), im0.dtype)
+        est = [Estimator() for _ in range(3)]
+        outs = []
+        for i, (f0, f1) in enumerate(zip(f0s, f1s)):
+            if i > 0:
+                flow = _up2(flow)
+            f1w = warp(f1, flow)
+            corr = local_corr(f0, f1w, self.radius)
+            flow = flow + est[i](corr, f0, flow)
+            outs.append(flow)
+        return outs
+
+
+def multiscale_loss(outs, gt_flow, mask=None):
+    """Supervised EPE over levels; gt_flow [N, H, W, 2] full-res pixels.
+    mask optional [N, H, W] (1 = supervise)."""
+    N, H, W, _ = gt_flow.shape
+    total = 0.0
+    weights = (0.32, 0.16, 0.08)      # coarse -> fine, PWC-style
+    for w, out in zip(weights, outs):
+        h = out.shape[1]
+        s = h / H
+        gt = jax.image.resize(gt_flow, (N, h, out.shape[2], 2),
+                              "bilinear") * s
+        err = jnp.sqrt(jnp.sum((out - gt) ** 2, -1) + 1e-8)
+        if mask is not None:
+            m = jax.image.resize(mask.astype(jnp.float32),
+                                 (N, h, out.shape[2]), "bilinear")
+            m = 0.1 + 0.9 * m          # background still weakly supervised
+            err = err * m
+        total = total + w * jnp.mean(err)
+    return total
+
+
+def full_res_flow(outs, size):
+    """Finest prediction upsampled to `size` (H, W) in pixel units."""
+    out = outs[-1]
+    N, h, w, _ = out.shape
+    return jax.image.resize(out, (N, size[0], size[1], 2),
+                            "bilinear") * (size[0] / h)
+
+
+# ----------------------------------------------------------------------
+# inference wrapper (auto_gen backend)
+# ----------------------------------------------------------------------
+def load_params(path: str):
+    from flax import traverse_util
+    flat = dict(np.load(path, allow_pickle=False))
+    return traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in flat.items()})
+
+
+def save_params(path: str, params):
+    from flax import traverse_util
+    flat = {"/".join(k): np.asarray(v) for k, v in
+            traverse_util.flatten_dict(params).items()}
+    np.savez(path, **flat)
+
+
+def make_backend(weights_path: str, infer_size: int = 256):
+    """auto_gen-compatible backend: (img0, img1) BGR uint8 ->
+    (flow [H, W, 3], occ [H, W]) with forward/backward consistency."""
+    import cv2
+
+    params = load_params(weights_path)
+    net = FlowNet()
+
+    @jax.jit
+    def _run(a, b):
+        return full_res_flow(net.apply(params, a, b), (infer_size, infer_size))
+
+    def backend(img0, img1):
+        H, W = img0.shape[:2]
+        a = cv2.resize(img0, (infer_size, infer_size))[..., ::-1] / 255.0
+        b = cv2.resize(img1, (infer_size, infer_size))[..., ::-1] / 255.0
+        a = jnp.asarray(a[None], jnp.float32)
+        b = jnp.asarray(b[None], jnp.float32)
+        fw = np.asarray(_run(a, b))[0]
+        bw = np.asarray(_run(b, a))[0]
+        # forward-backward consistency -> occlusion score in {-1, +1}
+        yy, xx = np.mgrid[:infer_size, :infer_size]
+        x1 = np.clip(xx + fw[..., 0], 0, infer_size - 1)
+        y1 = np.clip(yy + fw[..., 1], 0, infer_size - 1)
+        bw_at = bw[y1.astype(int), x1.astype(int)]
+        incons = np.linalg.norm(fw[..., :2] + bw_at[..., :2], axis=-1)
+        thresh = 0.05 * (np.linalg.norm(fw[..., :2], axis=-1)
+                         + np.linalg.norm(bw_at[..., :2], axis=-1)) + 3.0
+        occ = np.where(incons < thresh, 1.0, -1.0).astype(np.float32)
+        scale = np.array([W / infer_size, H / infer_size], np.float32)
+        flow = np.concatenate([fw * scale, occ[..., None]], -1)
+        flow = cv2.resize(flow, (W, H), interpolation=cv2.INTER_LINEAR)
+        occ_full = flow[..., 2].copy()
+        return flow.astype(np.float32), occ_full
+    return backend

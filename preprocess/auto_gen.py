@@ -72,7 +72,15 @@ def vcn_flow_backend(loadmodel: str, testres: float = 1.0):
     return backend
 
 
-BACKENDS = ("dis", "vcn")
+def flownet_backend(weights: str = "database/misc/flownet.npz"):
+    """In-framework flow CNN trained on generated synthetic pairs
+    (models/flownet.py, scripts/train_flow.py) — the weights-free
+    equivalent of the reference's pretrained VCN."""
+    from lasr_tpu.models.flownet import make_backend
+    return make_backend(weights)
+
+
+BACKENDS = ("dis", "vcn", "flownet")
 
 
 def main():
@@ -110,6 +118,9 @@ def main():
         if args.loadmodel is None:
             ap.error("--backend vcn requires --loadmodel vcn_rob.pth")
         backend = vcn_flow_backend(args.loadmodel, args.testres)
+    elif args.backend == "flownet":
+        backend = flownet_backend(
+            args.loadmodel or "database/misc/flownet.npz")
     else:
         backend = dis_flow_backend
 

@@ -1,0 +1,232 @@
+"""Training-pair generator for the in-framework flow net (models/flownet.py).
+
+Renders randomized articulated-spot pairs with exact vertex-correspondence
+flow — the same construction as the benchmark fixtures
+(scripts/render_syn.py) but with randomized pose deltas, articulation,
+textures, backgrounds, and framing, so the trained net covers the motion
+distribution auto_gen sees on the camel/pika-style sequences.
+
+Writes database/flow_syn/shard-%03d.npz with im0/im1 (uint8 [N,S,S,3] RGB),
+flow ([N,S,S,2] float16, pixels, image convention), mask (uint8).
+
+Usage: python scripts/gen_flow_data.py --n 1200 [--device cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if "--device" in sys.argv:
+    _dev = sys.argv[sys.argv.index("--device") + 1]
+else:
+    _dev = next((a.split("=", 1)[1] for a in sys.argv
+                 if a.startswith("--device=")), "cpu")
+if _dev == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import cv2  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from lasr_tpu.ops.rasterize import RasterizeConfig, soft_rasterize  # noqa: E402
+from lasr_tpu.utils import obj as obj_io  # noqa: E402
+
+S = 256
+_cache = {}
+
+
+def hard_render(face_verts, face_tex, background=(0.0, 0.0, 0.0)):
+    cfg = RasterizeConfig(image_size=S, sigma=1e-12, gamma=1e-4,
+                          dist_func="hard", aggr_rgb="hard",
+                          aggr_alpha="prod",
+                          texture_type="surface" if face_tex.shape[2] > 3
+                          else "vertex",
+                          background=background, face_chunk=16)
+    key = (cfg, face_verts.shape, face_tex.shape)
+    if key not in _cache:
+        _cache[key] = jax.jit(
+            lambda fv, ft: soft_rasterize(fv, ft, cfg, 1.0, 100.0,
+                                          force_ref=True))
+    return np.asarray(_cache[key](jnp.asarray(face_verts),
+                                  jnp.asarray(face_tex)))
+
+
+def rodrigues(rvec):
+    rvec = np.asarray(rvec, np.float64)
+    th = np.linalg.norm(rvec)
+    if th < 1e-12:
+        return np.eye(3)
+    k = rvec / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def articulate(v0, s_axis, phase, amp, wave, bob):
+    """Randomized variant of render_syn's spine swing + wave + head bob."""
+    v = v0.copy()
+    s = (v[:, 2] - v0[:, 2].min()) / np.ptp(v0[:, 2])
+    lever = s - 0.5
+    ang = (amp * np.sin(2 * np.pi * phase) * lever
+           + wave * np.sin(2 * np.pi * (s - 2 * phase)) * (0.3 + np.abs(lever)))
+    ca, sa = np.cos(ang), np.sin(ang)
+    x, z = v[:, 0].copy(), v[:, 2].copy()
+    v[:, 0] = ca * x + sa * z
+    v[:, 2] = -sa * x + ca * z
+    b = bob * np.sin(2 * np.pi * phase + 1.3) * np.clip(s - 0.66, 0, None) / 0.34
+    y, z = v[:, 1].copy(), v[:, 2].copy()
+    v[:, 1] = np.cos(b) * y - np.sin(b) * z
+    v[:, 2] = np.sin(b) * y + np.cos(b) * z
+    return v.astype(np.float32)
+
+
+def random_background(r):
+    kind = r.randint(3)
+    if kind == 0:
+        return np.full((S, S, 3), r.rand(3), np.float32)
+    if kind == 1:   # vertical/horizontal gradient
+        a, b = r.rand(3), r.rand(3)
+        t = np.linspace(0, 1, S)[:, None] if r.rand() < 0.5 \
+            else np.linspace(0, 1, S)[None, :]
+        return (a[None, None] * (1 - t[..., None])
+                + b[None, None] * t[..., None]).astype(np.float32)
+    noise = r.rand(S // 8, S // 8, 3).astype(np.float32)
+    return cv2.resize(noise, (S, S), interpolation=cv2.INTER_CUBIC)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1200)
+    ap.add_argument("--shard_size", type=int, default=100)
+    ap.add_argument("--outdir", default="database/flow_syn")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", default="cpu")
+    args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+
+    verts, faces, uv, face_uv, tex_img = obj_io.load_obj(
+        "database/misc/spot/spot_triangulated.obj")
+    overts = verts.copy()
+    overts[:, 1] *= -1
+    overts[:, 1] += 0.1
+    overts /= 1.2
+    base_tex = obj_io.bake_face_textures(uv, face_uv, tex_img, res=5) \
+        if tex_img is not None else None
+
+    r = np.random.RandomState(args.seed)
+    focal = 10.0
+    buf = {k: [] for k in ("im0", "im1", "flow", "mask")}
+    shard = 0
+    t0 = time.time()
+    for i in range(args.n):
+        # articulation: a pair of nearby phases
+        amp = r.uniform(0.0, 1.0)
+        wave = r.uniform(0.0, 0.35)
+        bob = r.uniform(0.0, 0.4)
+        ph0 = r.rand()
+        ph1 = ph0 + r.uniform(0.0, 0.12)
+        va = articulate(overts, None, ph0, amp, wave, bob)
+        vb = articulate(overts, None, ph1, amp, wave, bob)
+
+        # cameras: random base orientation; relative rotation up to 45 deg
+        R0 = rodrigues(r.standard_normal(3) * 10)     # ~uniform orientation
+        axis = r.standard_normal(3)
+        axis /= np.linalg.norm(axis)
+        Rrel = rodrigues(axis * np.radians(r.uniform(2.0, 45.0)))
+        depth0 = r.uniform(8.0, 14.0)
+        depth1 = depth0 * np.exp(r.uniform(-0.08, 0.08))
+        t2d0 = r.uniform(-0.25, 0.25, 2) * depth0 / focal
+        t2d1 = t2d0 + r.uniform(-0.06, 0.06, 2)
+        T0 = np.array([t2d0[0], t2d0[1], depth0])
+        T1 = np.array([t2d1[0], t2d1[1], depth1])
+
+        vc0 = va @ R0.T + T0
+        vc1 = vb @ (Rrel @ R0).T + T1
+
+        def geom(vc):
+            p = vc.copy()
+            p[:, 0] = vc[:, 0] * focal / vc[:, 2]
+            p[:, 1] = vc[:, 1] * focal / vc[:, 2]
+            zmin, zmax = vc[:, 2].min(), vc[:, 2].max()
+            p[:, 2] = (vc[:, 2] - zmin) / max(zmax - zmin, 1e-6) - 0.5
+            g = p.copy()
+            g[:, 1] *= -1
+            g[:, 2] += 2.0
+            return p, g
+
+        p0, g0 = geom(vc0)
+        p1, g1 = geom(vc1)
+
+        # texture: baked spot colors with jitter, or procedural smooth color
+        # + per-texel detail noise (the matcher needs high-frequency texture)
+        if base_tex is not None and r.rand() < 0.6:
+            tex = np.clip(base_tex * r.uniform(0.6, 1.3, 3)
+                          + r.uniform(-0.1, 0.1), 0, 1).astype(np.float32)
+        else:
+            w = r.standard_normal((3, 3)) * r.uniform(0.5, 2.0)
+            col = 0.5 + 0.5 * np.tanh(overts @ w.T + r.standard_normal(3))
+            fcol = col[faces].mean(1)             # [F, 3] per-face base
+            ntex = base_tex.shape[1] if base_tex is not None else 25
+            tex = np.repeat(fcol[:, None], ntex, 1)   # surface-texture mode
+        tex = np.clip(tex + r.standard_normal(tex.shape) *
+                      r.uniform(0.02, 0.15), 0, 1).astype(np.float32)
+
+        fg0 = g0[faces][None]
+        fg1 = g1[faces][None]
+        rgb0 = hard_render(fg0, tex[None])
+        rgb1 = hard_render(fg1, tex[None])
+
+        # exact flow: render camera positions of both frames with frame-0
+        # geometry (render_syn.py:193-210)
+        pos0 = hard_render(fg0, vc0[faces][None])
+        pos1 = hard_render(fg0, vc1[faces][None])
+        q0 = np.transpose(pos0[0, :3], (1, 2, 0)).copy()
+        q1 = np.transpose(pos1[0, :3], (1, 2, 0)).copy()
+        bg = (np.abs(q0[:, :, 2]) < 1e-9) | (np.abs(q1[:, :, 2]) < 1e-9)
+        q0[bg] = 10.0
+        q1[bg] = 10.0
+        for q in (q0, q1):
+            q[:, :, 0] = q[:, :, 0] * focal / q[:, :, 2]
+            q[:, :, 1] = q[:, :, 1] * focal / q[:, :, 2]
+        flow = (q1 - q0)[:, :, :2] / 2.0 * (S - 1)
+        flow[bg] = 0.0
+
+        # ONE background per pair (real videos have a consistent backdrop);
+        # frame 1's copy gets a small global shift to mimic camera sway
+        bg_img = random_background(r)
+        shift = r.uniform(-4, 4, 2)
+        M = np.float32([[1, 0, shift[0]], [0, 1, shift[1]]])
+        bg1 = cv2.warpAffine(bg_img, M, (S, S), borderMode=cv2.BORDER_REFLECT)
+
+        def composite(rgb, bg):
+            img = np.transpose(rgb[0, :3], (1, 2, 0))
+            alpha = rgb[0, 3][..., None]
+            out = img * alpha + bg * (1 - alpha)
+            out = np.clip(out + r.standard_normal(out.shape) * 0.02, 0, 1)
+            return (255 * out).astype(np.uint8)
+
+        m0 = (pos0[0, 3] > 0.5)
+        buf["im0"].append(composite(rgb0, bg_img))
+        buf["im1"].append(composite(rgb1, bg1))
+        buf["flow"].append(flow.astype(np.float16))
+        buf["mask"].append(m0.astype(np.uint8))
+
+        if len(buf["im0"]) == args.shard_size or i == args.n - 1:
+            path = os.path.join(args.outdir, f"shard-{shard:03d}.npz")
+            np.savez_compressed(path,
+                                **{k: np.stack(v) for k, v in buf.items()})
+            rate = (i + 1) / (time.time() - t0)
+            print(f"{path}: {len(buf['im0'])} pairs ({i + 1}/{args.n}, "
+                  f"{rate:.2f} pairs/s)", flush=True)
+            buf = {k: [] for k in buf}
+            shard += 1
+
+
+if __name__ == "__main__":
+    main()

@@ -4,8 +4,8 @@
 # stage switches to the unsubsampled sequence with a sharper rasterizer.
 set -e
 seqname=$1
-logname=$1
-checkpoint_dir=${2:-log}
+logname=${2:-$1}
+checkpoint_dir=${CHECKPOINT_DIR:-log}
 nepoch=10
 batchsize=2
 ngpu=${NGPU:-1}
