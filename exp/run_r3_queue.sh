@@ -88,6 +88,10 @@ except Exception:
   timeout 14000 bash scripts/template.sh pika pika2
   bash scripts/extract.sh pika2-5 pika 36 2880
   bash scripts/render_result.sh log/pika2-5
+  python scripts/eval_mesh.py --testdir log/pika2-5 \
+    --gtdir database/gt-pika | tail -2
+  python scripts/make_badja_syn.py --seqname pika
+  python scripts/eval_badja.py --testdir log/pika2-5 --seqname pika-syn
 ) > /tmp/r3-pika.log 2>&1
 record pika2 $((SECONDS - s)) $?
 
