@@ -260,7 +260,9 @@ class LasrModel:
             chain = jnp.asarray(self.cam_chain)[batch["frameid"]]  # [2b,3,3]
             M = M.at[:, :, 0].set(M[:, :, 0] @ chain[:, None])
 
-        # -- pose-noise annealing (ref :220-235)
+        # -- pose-noise annealing (ref :220-235).  The full gate, including
+        # iters > 1, is exact parity: ref:nnutils/mesh_net.py:220 reads
+        # `if opts.noise and self.epoch>0 and self.iters<100 and self.iters>1`.
         k_q, k_s = jax.random.split(rng)
         decay = noise_base * jnp.power(1e-4, iters / 100.0)
         apply_noise = (jnp.asarray(cfg.noise)
