@@ -40,10 +40,16 @@ def main() -> None:
         if os.path.exists(eb):
             entry["pck"] = round(json.load(open(eb))["pck"], 2)
             shutil.copy(eb, f"results/{cfg}_eval_badja.json")
-        key = {"syn-dog-15": "dog15", "DAVIS-camel": "camel",
-               "pika": "pika", "spot3-gtcam": "gtcam"}.get(cfg, cfg)
-        if key in wall:
-            entry["wall_s_total"] = wall[key]
+        candidates = {"syn-dog-15": ["dog15c", "dog15"],
+                      "DAVIS-camel": ["camel2", "camel"],
+                      "pika-e2e": ["pika2", "pika"],
+                      "pika": ["pika2", "pika"],
+                      "spot3": ["spot3r3", "spot3"],
+                      "spot3-gtcam": ["gtcam"]}.get(cfg, [cfg])
+        for key in candidates:
+            if key in wall:
+                entry["wall_s_total"] = wall[key]
+                break
         entry["run_dir"] = logdir
         if entry:
             base["published"][cfg] = entry

@@ -100,6 +100,15 @@ class CodePredictor(nn.Module):
 
     n_bones: int = 1
     n_hypo: int = 1
+    # rest bias on the ROOT quaternion's w component.  0 (reference
+    # behavior): normalize(small gaussian) makes every (frame, hypothesis)
+    # root start at a near-uniform random rotation — the search diversity
+    # stage 0 needs when cameras come from nothing.  Nonzero (set when a
+    # flow-chain camera init is active): the root starts near identity so
+    # the composed camera starts near the chain estimate, with the
+    # residual gaussian providing a moderate spread around it (and the
+    # pose-noise annealing still exploring beyond it).
+    root_quat_bias: float = 0.0
 
     @nn.compact
     def __call__(self, feat):
@@ -110,6 +119,8 @@ class CodePredictor(nn.Module):
         q = nn.Dense(4 * K * H, kernel_init=init, name="quat")(feat)
         q = q.reshape(B, H, K, 4)
         q = q.at[:, :, 1:, 3].add(10.0)
+        if self.root_quat_bias:
+            q = q.at[:, :, 0, 3].add(self.root_quat_bias)
         q = quat_ops.normalize(q)
         rotmat = quat_ops.quat_to_rotmat_xyzw(q)
 
@@ -186,7 +197,7 @@ def _host_init(shapes, seed: int) -> dict:
 
 
 def create_nets(seed: int, img_size: int, nz_feat: int, n_bones: int,
-                n_hypo: int):
+                n_hypo: int, root_quat_bias: float = 0.0):
     """Initialize encoder + predictor; returns (modules, host params).
 
     Shapes come from jax.eval_shape (pure tracing); values are sampled with
@@ -195,7 +206,8 @@ def create_nets(seed: int, img_size: int, nz_feat: int, n_bones: int,
     TPU backend (first-op compile + transport round-trip).  The trainer
     device-puts the params where it wants them."""
     enc = Encoder(nz_feat=nz_feat)
-    pred = CodePredictor(n_bones=n_bones, n_hypo=n_hypo)
+    pred = CodePredictor(n_bones=n_bones, n_hypo=n_hypo,
+                         root_quat_bias=root_quat_bias)
 
     def _init(key):
         k1, k2 = jax.random.split(key)

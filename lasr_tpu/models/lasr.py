@@ -105,8 +105,14 @@ class LasrModel:
         self.topology = MeshTopology.build(self.faces, self.num_verts)
 
         # ---- networks -------------------------------------------------------
+        # with a camera chain the root head parametrizes a deviation from
+        # identity (rest bias 8), so composed cameras start near the chain;
+        # the bias is part of the parametrization and must match across
+        # stages — gating on chain presence keeps it consistent, since the
+        # chain itself persists through checkpoints
         (self.encoder, self.code_predictor), net_params = create_nets(
-            s_net, cfg.img_size, cfg.nz_feat, cfg.n_bones, cfg.n_hypo)
+            s_net, cfg.img_size, cfg.nz_feat, cfg.n_bones, cfg.n_hypo,
+            root_quat_bias=8.0 if self.cam_chain is not None else 0.0)
         self.perceptual = PerceptualLoss(s_pnet)
 
         # ---- parameters (host numpy; the trainer device-puts them) ----------

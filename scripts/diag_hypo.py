@@ -46,9 +46,18 @@ def main():
                      n_hypo=args.n_hypo, symmetric=True,
                      symmetric_texture=True, only_mean_sym=True,
                      batch_size=1, num_epochs=5, checkpoint_dir="")
-    # heads only — mesh topology is irrelevant for camera diagnostics
+    # heads only — mesh topology is irrelevant for camera diagnostics.
+    # The root-quat rest bias must match the run's parametrization: runs
+    # trained with a camera chain (meta __cam_chain) use bias 8.
+    _probe = sorted(glob.glob(os.path.join(args.logdir, "pred_net_*.npz")))
+    _has_chain = False
+    if _probe:
+        import numpy as _np
+        with _np.load(_probe[0]) as _d:
+            _has_chain = "__cam_chain" in _d.files
     (encoder, code_predictor), _ = create_nets(
-        0, cfg.img_size, cfg.nz_feat, cfg.n_bones, cfg.n_hypo)
+        0, cfg.img_size, cfg.nz_feat, cfg.n_bones, cfg.n_hypo,
+        root_quat_bias=8.0 if _has_chain else 0.0)
     ds = VideoDataset(cfg, "configs")
     arrs = ds.device_arrays()
     # unique frames only (the pair list duplicates first/last and has fw+bw)

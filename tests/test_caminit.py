@@ -99,18 +99,33 @@ def _with_frameid(batch):
     return batch
 
 
-def test_identity_chain_matches_none():
+def test_init_cameras_cluster_near_chain():
+    """With a chain, the root head gets a rest bias so every (frame, hypo)
+    camera starts NEAR the chain estimate (moderate spread) — without it,
+    normalize(gaussian) would start roots at uniform random rotations and
+    the composition would destroy the init."""
     cfg = LasrConfig(img_size=S, subdivide=1, num_epochs=10, use_pallas=False,
-                     sigval=1e-3, n_bones=3, n_hypo=2, symmetric=True)
-    batch = _with_frameid(make_batch(0))
-    rng = jax.random.PRNGKey(0)
-    base = LasrModel(cfg)
+                     sigval=1e-3, n_bones=3, n_hypo=4, symmetric=True)
     chained = LasrModel(cfg, cam_chain=np.stack([np.eye(3)] * 2))
-    l0, _ = base.loss_fn(base.init_params, batch, rng,
-                         jnp.asarray(0), jnp.asarray(0))
-    l1, _ = chained.loss_fn(chained.init_params, batch, rng,
-                            jnp.asarray(0), jnp.asarray(0))
-    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    base = LasrModel(cfg)
+    batch = _with_frameid(make_batch(0))
+
+    def root_angles(model):
+        codes = model.predict_codes(model.init_params, batch["input_imgs"])
+        M = np.asarray(codes["rotmat"])[:, :, 0]      # [2b, H, 3, 3]
+        tr = np.trace(M, axis1=-2, axis2=-1)
+        return np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+
+    a_chained = root_angles(chained)
+    a_base = root_angles(base)
+    # deviation from the chain (= from identity, chain is I here): tight
+    # for the chained parametrization, near-uniform (median ~120 deg)
+    # without it
+    assert a_chained.mean() < 30.0, a_chained
+    assert a_chained.max() < 60.0, a_chained
+    assert a_base.mean() > 60.0, a_base
+    # exploration around the chain comes from the pose-noise annealing
+    # (~20 deg early in every epoch), not the init spread
 
 
 def test_nontrivial_chain_changes_cameras_and_stays_finite():
