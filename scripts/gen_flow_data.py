@@ -124,6 +124,48 @@ def main():
     buf = {k: [] for k in ("im0", "im1", "flow", "mask")}
     shard = 0
     t0 = time.time()
+    # block accumulation: the tunneled TPU pays ~1s per dispatch round-trip,
+    # so geometry for BLOCK pairs is built host-side and rendered in four
+    # batched dispatches instead of 4*BLOCK sequential ones
+    BLOCK = 8
+    pend = {k: [] for k in ("fg0", "fg1", "tex", "pos0t", "pos1t", "bg")}
+
+    def flush():
+        if not pend["fg0"]:
+            return
+        fg0 = np.stack(pend["fg0"]); fg1 = np.stack(pend["fg1"])
+        tex = np.stack(pend["tex"])
+        rgb0 = hard_render(fg0, tex)
+        rgb1 = hard_render(fg1, tex)
+        pos0 = hard_render(fg0, np.stack(pend["pos0t"]))
+        pos1 = hard_render(fg0, np.stack(pend["pos1t"]))
+        for j in range(len(fg0)):
+            q0 = np.transpose(pos0[j, :3], (1, 2, 0)).copy()
+            q1 = np.transpose(pos1[j, :3], (1, 2, 0)).copy()
+            bgm = (np.abs(q0[:, :, 2]) < 1e-9) | (np.abs(q1[:, :, 2]) < 1e-9)
+            q0[bgm] = 10.0
+            q1[bgm] = 10.0
+            for q in (q0, q1):
+                q[:, :, 0] = q[:, :, 0] * focal / q[:, :, 2]
+                q[:, :, 1] = q[:, :, 1] * focal / q[:, :, 2]
+            flow = (q1 - q0)[:, :, :2] / 2.0 * (S - 1)
+            flow[bgm] = 0.0
+            bg_img, bg1 = pend["bg"][j]
+
+            def composite(rgb, bg):
+                img = np.transpose(rgb[:3], (1, 2, 0))
+                alpha = rgb[3][..., None]
+                out = img * alpha + bg * (1 - alpha)
+                out = np.clip(out + r.standard_normal(out.shape) * 0.02, 0, 1)
+                return (255 * out).astype(np.uint8)
+
+            buf["im0"].append(composite(rgb0[j], bg_img))
+            buf["im1"].append(composite(rgb1[j], bg1))
+            buf["flow"].append(flow.astype(np.float16))
+            buf["mask"].append((pos0[j, 3] > 0.5).astype(np.uint8))
+        for k in pend:
+            pend[k] = []
+
     for i in range(args.n):
         # articulation: a pair of nearby phases
         amp = r.uniform(0.0, 1.0)
@@ -177,26 +219,6 @@ def main():
         tex = np.clip(tex + r.standard_normal(tex.shape) *
                       r.uniform(0.02, 0.15), 0, 1).astype(np.float32)
 
-        fg0 = g0[faces][None]
-        fg1 = g1[faces][None]
-        rgb0 = hard_render(fg0, tex[None])
-        rgb1 = hard_render(fg1, tex[None])
-
-        # exact flow: render camera positions of both frames with frame-0
-        # geometry (render_syn.py:193-210)
-        pos0 = hard_render(fg0, vc0[faces][None])
-        pos1 = hard_render(fg0, vc1[faces][None])
-        q0 = np.transpose(pos0[0, :3], (1, 2, 0)).copy()
-        q1 = np.transpose(pos1[0, :3], (1, 2, 0)).copy()
-        bg = (np.abs(q0[:, :, 2]) < 1e-9) | (np.abs(q1[:, :, 2]) < 1e-9)
-        q0[bg] = 10.0
-        q1[bg] = 10.0
-        for q in (q0, q1):
-            q[:, :, 0] = q[:, :, 0] * focal / q[:, :, 2]
-            q[:, :, 1] = q[:, :, 1] * focal / q[:, :, 2]
-        flow = (q1 - q0)[:, :, :2] / 2.0 * (S - 1)
-        flow[bg] = 0.0
-
         # ONE background per pair (real videos have a consistent backdrop);
         # frame 1's copy gets a small global shift to mimic camera sway
         bg_img = random_background(r)
@@ -204,20 +226,18 @@ def main():
         M = np.float32([[1, 0, shift[0]], [0, 1, shift[1]]])
         bg1 = cv2.warpAffine(bg_img, M, (S, S), borderMode=cv2.BORDER_REFLECT)
 
-        def composite(rgb, bg):
-            img = np.transpose(rgb[0, :3], (1, 2, 0))
-            alpha = rgb[0, 3][..., None]
-            out = img * alpha + bg * (1 - alpha)
-            out = np.clip(out + r.standard_normal(out.shape) * 0.02, 0, 1)
-            return (255 * out).astype(np.uint8)
+        pend["fg0"].append(g0[faces])
+        pend["fg1"].append(g1[faces])
+        pend["tex"].append(tex)
+        # exact flow comes from rendering camera positions of both frames
+        # with frame-0 geometry (render_syn.py:193-210)
+        pend["pos0t"].append(vc0[faces].astype(np.float32))
+        pend["pos1t"].append(vc1[faces].astype(np.float32))
+        pend["bg"].append((bg_img, bg1))
+        if len(pend["fg0"]) == BLOCK or i == args.n - 1:
+            flush()
 
-        m0 = (pos0[0, 3] > 0.5)
-        buf["im0"].append(composite(rgb0, bg_img))
-        buf["im1"].append(composite(rgb1, bg1))
-        buf["flow"].append(flow.astype(np.float16))
-        buf["mask"].append(m0.astype(np.uint8))
-
-        if len(buf["im0"]) == args.shard_size or i == args.n - 1:
+        if len(buf["im0"]) >= args.shard_size or i == args.n - 1:
             path = os.path.join(args.outdir, f"shard-{shard:03d}.npz")
             np.savez_compressed(path,
                                 **{k: np.stack(v) for k, v in buf.items()})
