@@ -43,12 +43,16 @@ _cache = {}
 
 
 def hard_render(face_verts, face_tex, background=(0.0, 0.0, 0.0)):
+    # face_chunk: the reference rasterizer scans the face axis in chunks;
+    # 16 (CPU-memory tuned) makes a 366-step latency-bound scan on TPU —
+    # 128 keeps peak memory fine on the chip and is ~8x fewer steps
+    chunk = 16 if jax.default_backend() == "cpu" else 128
     cfg = RasterizeConfig(image_size=S, sigma=1e-12, gamma=1e-4,
                           dist_func="hard", aggr_rgb="hard",
                           aggr_alpha="prod",
                           texture_type="surface" if face_tex.shape[2] > 3
                           else "vertex",
-                          background=background, face_chunk=16)
+                          background=background, face_chunk=chunk)
     key = (cfg, face_verts.shape, face_tex.shape)
     if key not in _cache:
         _cache[key] = jax.jit(
