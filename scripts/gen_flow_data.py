@@ -42,22 +42,22 @@ S = 256
 _cache = {}
 
 
-def hard_render(face_verts, face_tex, background=(0.0, 0.0, 0.0)):
-    # face_chunk: the reference rasterizer scans the face axis in chunks;
-    # 16 (CPU-memory tuned) makes a 366-step latency-bound scan on TPU —
-    # 128 keeps peak memory fine on the chip and is ~8x fewer steps
-    chunk = 16 if jax.default_backend() == "cpu" else 128
-    cfg = RasterizeConfig(image_size=S, sigma=1e-12, gamma=1e-4,
-                          dist_func="hard", aggr_rgb="hard",
-                          aggr_alpha="prod",
-                          texture_type="surface" if face_tex.shape[2] > 3
-                          else "vertex",
-                          background=background, face_chunk=chunk)
+def sharp_render(face_verts, face_tex):
+    """Near-hard soft rasterization on the production Pallas TPU kernel
+    (vertex colors, tiny sigma): the data engine runs on the same kernel
+    the optimizer trains through, at ~2 orders of magnitude the reference
+    path's throughput on-chip.  face_verts [B, F, 3, 3] screen geometry
+    (y up, z in [1.5, 2.5]); face_tex [B, F, 3, C] per-vertex values
+    (colors or camera-space positions)."""
+    cfg = RasterizeConfig(image_size=S, sigma=3e-5, gamma=1e-4,
+                          background=(0.0,) * face_tex.shape[-1])
     key = (cfg, face_verts.shape, face_tex.shape)
     if key not in _cache:
+        B = face_verts.shape[0]
+        near = jnp.full((B,), 1.0)
+        far = jnp.full((B,), 3.0)
         _cache[key] = jax.jit(
-            lambda fv, ft: soft_rasterize(fv, ft, cfg, 1.0, 100.0,
-                                          force_ref=True))
+            lambda fv, ft: soft_rasterize(fv, ft, cfg, near, far))
     return np.asarray(_cache[key](jnp.asarray(face_verts),
                                   jnp.asarray(face_tex)))
 
@@ -120,8 +120,21 @@ def main():
     overts[:, 1] *= -1
     overts[:, 1] += 0.1
     overts /= 1.2
-    base_tex = obj_io.bake_face_textures(uv, face_uv, tex_img, res=5) \
-        if tex_img is not None else None
+    # per-vertex colors from the texture image (the Pallas kernel is
+    # vertex-textured): average the texture at each vertex's uv corners
+    base_vcol = None
+    if tex_img is not None and uv is not None and face_uv is not None:
+        th, tw = tex_img.shape[:2]
+        px = np.clip((uv[:, 0] * (tw - 1)).astype(int), 0, tw - 1)
+        py = np.clip(((1 - uv[:, 1]) * (th - 1)).astype(int), 0, th - 1)
+        uv_col = tex_img[py, px].astype(np.float32)
+        if uv_col.max() > 1.5:
+            uv_col /= 255.0
+        acc = np.zeros((len(verts), 3), np.float64)
+        cnt = np.zeros(len(verts), np.float64)
+        np.add.at(acc, faces.reshape(-1), uv_col[face_uv.reshape(-1)])
+        np.add.at(cnt, faces.reshape(-1), 1.0)
+        base_vcol = (acc / np.maximum(cnt[:, None], 1)).astype(np.float32)
 
     r = np.random.RandomState(args.seed)
     focal = 10.0
@@ -139,14 +152,16 @@ def main():
             return
         fg0 = np.stack(pend["fg0"]); fg1 = np.stack(pend["fg1"])
         tex = np.stack(pend["tex"])
-        rgb0 = hard_render(fg0, tex)
-        rgb1 = hard_render(fg1, tex)
-        pos0 = hard_render(fg0, np.stack(pend["pos0t"]))
-        pos1 = hard_render(fg0, np.stack(pend["pos1t"]))
+        rgb0 = sharp_render(fg0, tex)
+        rgb1 = sharp_render(fg1, tex)
+        pos0 = sharp_render(fg0, np.stack(pend["pos0t"]))
+        pos1 = sharp_render(fg0, np.stack(pend["pos1t"]))
         for j in range(len(fg0)):
             q0 = np.transpose(pos0[j, :3], (1, 2, 0)).copy()
             q1 = np.transpose(pos1[j, :3], (1, 2, 0)).copy()
-            bgm = (np.abs(q0[:, :, 2]) < 1e-9) | (np.abs(q1[:, :, 2]) < 1e-9)
+            # soft edges: keep only solidly-covered pixels for flow truth
+            bgm = (pos0[j, 3] < 0.9) | (np.abs(q0[:, :, 2]) < 1e-3) \
+                | (np.abs(q1[:, :, 2]) < 1e-3)
             q0[bgm] = 10.0
             q1[bgm] = 10.0
             for q in (q0, q1):
@@ -166,7 +181,8 @@ def main():
             buf["im0"].append(composite(rgb0[j], bg_img))
             buf["im1"].append(composite(rgb1[j], bg1))
             buf["flow"].append(flow.astype(np.float16))
-            buf["mask"].append((pos0[j, 3] > 0.5).astype(np.uint8))
+            # supervise at full weight only where the flow truth is solid
+            buf["mask"].append((~bgm).astype(np.uint8))
         for k in pend:
             pend[k] = []
 
@@ -209,19 +225,18 @@ def main():
         p0, g0 = geom(vc0)
         p1, g1 = geom(vc1)
 
-        # texture: baked spot colors with jitter, or procedural smooth color
-        # + per-texel detail noise (the matcher needs high-frequency texture)
-        if base_tex is not None and r.rand() < 0.6:
-            tex = np.clip(base_tex * r.uniform(0.6, 1.3, 3)
-                          + r.uniform(-0.1, 0.1), 0, 1).astype(np.float32)
+        # texture: spot's vertex colors with jitter, or procedural smooth
+        # color; per-vertex detail noise gives the matcher high-frequency
+        # texture (~3px spacing at these framings)
+        if base_vcol is not None and r.rand() < 0.6:
+            vcol = np.clip(base_vcol * r.uniform(0.6, 1.3, 3)
+                           + r.uniform(-0.1, 0.1), 0, 1)
         else:
             w = r.standard_normal((3, 3)) * r.uniform(0.5, 2.0)
-            col = 0.5 + 0.5 * np.tanh(overts @ w.T + r.standard_normal(3))
-            fcol = col[faces].mean(1)             # [F, 3] per-face base
-            ntex = base_tex.shape[1] if base_tex is not None else 25
-            tex = np.repeat(fcol[:, None], ntex, 1)   # surface-texture mode
-        tex = np.clip(tex + r.standard_normal(tex.shape) *
-                      r.uniform(0.02, 0.15), 0, 1).astype(np.float32)
+            vcol = 0.5 + 0.5 * np.tanh(overts @ w.T + r.standard_normal(3))
+        vcol = np.clip(vcol + r.standard_normal(vcol.shape) *
+                       r.uniform(0.03, 0.18), 0, 1).astype(np.float32)
+        tex = vcol[faces]                          # [F, 3, 3] vertex colors
 
         # ONE background per pair (real videos have a consistent backdrop);
         # frame 1's copy gets a small global shift to mimic camera sway
