@@ -89,23 +89,42 @@ class Pyramid(nn.Module):
         x = ConvBlock(16, 2)(x)
         x = ConvBlock(16)(x)
         x = ConvBlock(32, 2)(x)
+        x = ConvBlock(32)(x)
         l4 = ConvBlock(32)(x)
         x = ConvBlock(64, 2)(l4)
+        x = ConvBlock(64)(x)
         l8 = ConvBlock(64)(x)
         x = ConvBlock(96, 2)(l8)
+        x = ConvBlock(96)(x)
         l16 = ConvBlock(96)(x)
         return [l16, l8, l4]          # coarse -> fine
 
 
 class Estimator(nn.Module):
-    """Per-level flow delta from correlation + features + current flow."""
+    """Per-level flow delta: PWC-style densely connected estimator
+    (each conv sees every earlier activation — the capacity that makes the
+    correlation volume actually decodable; a plain 3-conv stack plateaued
+    at near-zero-flow predictions)."""
 
     @nn.compact
     def __call__(self, corr, feat, flow):
         x = jnp.concatenate([corr, feat, flow], -1)
-        x = ConvBlock(96)(x)
-        x = ConvBlock(64)(x)
-        x = ConvBlock(32)(x)
+        for ch in (128, 96, 64, 32):
+            y = ConvBlock(ch)(x)
+            x = jnp.concatenate([y, x], -1)
+        return nn.Conv(2, (3, 3), padding=1,
+                       kernel_init=nn.initializers.normal(1e-3))(x), x
+
+
+class Context(nn.Module):
+    """Dilated-conv refinement on the finest level (PWC context network)."""
+
+    @nn.compact
+    def __call__(self, x):
+        for ch, d in ((96, 1), (96, 2), (64, 4), (48, 8), (32, 1)):
+            x = nn.leaky_relu(
+                nn.Conv(ch, (3, 3), padding=d, kernel_dilation=(d, d))(x),
+                0.1)
         return nn.Conv(2, (3, 3), padding=1,
                        kernel_init=nn.initializers.normal(1e-3))(x)
 
@@ -122,19 +141,25 @@ class FlowNet(nn.Module):
 
     @nn.compact
     def __call__(self, im0, im1):
+        im0 = im0 - 0.45
+        im1 = im1 - 0.45
         pyr = Pyramid()
         f0s, f1s = pyr(im0), pyr(im1)
         N, Hc, Wc, _ = f0s[0].shape
         flow = jnp.zeros((N, Hc, Wc, 2), im0.dtype)
         est = [Estimator() for _ in range(3)]
         outs = []
+        x = None
         for i, (f0, f1) in enumerate(zip(f0s, f1s)):
             if i > 0:
                 flow = _up2(flow)
             f1w = warp(f1, flow)
             corr = local_corr(f0, f1w, self.radius)
-            flow = flow + est[i](corr, f0, flow)
+            delta, x = est[i](corr, f0, flow)
+            flow = flow + delta
             outs.append(flow)
+        flow = flow + Context()(x)     # refine the finest level
+        outs.append(flow)
         return outs
 
 
@@ -143,7 +168,9 @@ def multiscale_loss(outs, gt_flow, mask=None):
     mask optional [N, H, W] (1 = supervise)."""
     N, H, W, _ = gt_flow.shape
     total = 0.0
-    weights = (0.32, 0.16, 0.08)      # coarse -> fine, PWC-style
+    # coarse -> fine, PWC-style; last two entries are the finest level
+    # before and after the context refinement
+    weights = (0.32, 0.16, 0.08, 0.08)
     for w, out in zip(weights, outs):
         h = out.shape[1]
         s = h / H
