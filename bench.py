@@ -144,6 +144,22 @@ def main():
     warm_path = os.path.join("results", "spot3_warm.json")
     if os.path.exists(warm_path):
         e2e.update(json.load(open(warm_path)))
+    # per-round evidence artifacts (results/), surfaced as scalars
+    try:
+        kp = json.load(open("results/tpu_kernel_parity.json"))
+        e2e["kernel_parity_gv_rel"] = kp["gv_rel_maxerr"]
+    except Exception:
+        pass
+    try:
+        fv = json.load(open("results/flownet_val.json"))
+        e2e["flownet_epe_px"] = round(fv["mean_epe_mask"], 2)
+    except Exception:
+        pass
+    try:
+        mq = json.load(open("results/mask_quality_pika.json"))
+        e2e["mask_substitute_iou"] = round(mq["mean_iou"], 3)
+    except Exception:
+        pass
     try:
         published = json.load(open("BASELINE.json")).get("published", {})
         for k, v in published.items():
