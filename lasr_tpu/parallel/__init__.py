@@ -35,7 +35,12 @@ def shard_step(step_fn, mesh: Mesh):
     return jax.jit(
         step_fn,
         in_shardings=(repl, repl, repl, shard, repl, repl, repl, repl),
-        out_shardings=None,
+        # replicated outputs: on a (data, hypo) mesh, letting GSPMD choose
+        # leaves per-hypothesis param leaves partitioned over `hypo`; the
+        # committed sharding then MISMATCHES the next dispatch's replicated
+        # in_shardings, which raises (donated args are never re-sharded).
+        # Forcing repl keeps every epoch's outputs in the rest sharding.
+        out_shardings=repl,
     )
 
 
@@ -62,6 +67,9 @@ def shard_epoch_scan(scan_fn, mesh: Mesh):
     return jax.jit(
         scan_fn,
         in_shardings=(repl, repl, repl, sched, repl, repl, repl, repl),
-        out_shardings=None,
+        # repl outputs for the same reason as shard_step: epoch N+1 re-feeds
+        # epoch N's params/opt_state, and a GSPMD-chosen `hypo` partition on
+        # them would clash with the replicated in_shardings at dispatch.
+        out_shardings=repl,
         donate_argnums=(0, 1),
     )

@@ -120,6 +120,37 @@ def test_data_parallel_step(tmp_path):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
+def test_trainer_hypo_sharded_epoch(tmp_path):
+    """Trainer end-to-end with hypothesis sharding on the (data=1, hypo=2)
+    mesh — the production epoch program, not a hand-rolled step.  Guards the
+    round-2 regression where Trainer committed params/opt_state to a single
+    device while the jitted step contained a multi-device shard_map
+    ("incompatible devices for jitted computation"), and the matching
+    reinit_bones device_put."""
+    os.chdir(REPO)
+    assert jax.device_count() >= 2
+    cfg = small_cfg(tmp_path, n_hypo=2, hypo_shards=2, ngpu=1)
+    tr = Trainer(cfg)
+    tr.reinit_bones()          # second device_put path: must stay on-mesh
+    from lasr_tpu.parallel import put_sharded_schedule
+    ids_all = put_sharded_schedule(np.zeros((2, 1), np.int32), tr.mesh)
+    p, s, scal, nscore, _ = tr.epoch_scan(
+        tr.params, tr.opt_state, tr.dev_arrays, ids_all,
+        jnp.asarray(0, jnp.int32), jnp.asarray(0),
+        jnp.asarray(0, jnp.int32), tr.knobs())
+    losses = np.asarray(scal["total_loss"])
+    assert losses.shape == (2,) and np.isfinite(losses).all()
+    assert np.asarray(nscore).shape == (2,)
+    # jit may leave per-hypothesis leaves partitioned over `hypo`; the
+    # invariant that matters is that the next epoch accepts the outputs
+    # (in_shardings re-partition them) — the round-2 bug raised here.
+    p, s, scal, *_ = tr.epoch_scan(
+        p, s, tr.dev_arrays, ids_all, jnp.asarray(1, jnp.int32),
+        jnp.asarray(1), jnp.asarray(2, jnp.int32), tr.knobs())
+    assert np.isfinite(np.asarray(scal["total_loss"])).all()
+
+
 def test_gather_batch_compact_matches_legacy(tmp_path):
     """device_arrays_compact + gather must reproduce the legacy batch
     bit-exactly (images/masks/DTs are per-frame; dedup is lossless)."""
