@@ -81,11 +81,18 @@ def clip_and_guard(grads):
 
 
 class Trainer:
-    def __init__(self, cfg: LasrConfig, configs_dir: str = "configs"):
+    def __init__(self, cfg: LasrConfig, configs_dir: str = "configs",
+                 dataset=None, dev_arrays=None):
+        """dataset/dev_arrays: pass a previous stage's VideoDataset and its
+        uploaded device arrays to skip re-preprocessing and re-uploading the
+        video between stages of one process (pipeline.py).  Only valid when
+        (dataname, img_size, sil_path) are unchanged — the caller checks."""
         self.cfg = cfg
-        self.dataset = VideoDataset(cfg, configs_dir)
-        self.dev_arrays = {k: jnp.asarray(v) for k, v in
-                           self.dataset.device_arrays_compact().items()}
+        self.dataset = dataset if dataset is not None else \
+            VideoDataset(cfg, configs_dir)
+        self.dev_arrays = dev_arrays if dev_arrays is not None else \
+            {k: jnp.asarray(v) for k, v in
+             self.dataset.device_arrays_compact().items()}
 
         # model construction, with checkpoint surgery for stage transitions
         n_frames = int(max(self.dataset.meta["id0"].max(),
@@ -433,6 +440,11 @@ class Trainer:
             bounds = [(ci * L, (ci + 1) * L) for ci in range(k)]
             if k * L < n:
                 bounds.append((k * L, n))
+            # LASR_PHASE_TIMERS=1: per-epoch wall-clock split between device
+            # execution and the host-side work around it, for perf triage
+            phase_t = {"exec": 0.0, "scal": 0.0, "img": 0.0, "tb": 0.0,
+                       "save": 0.0}
+            _pt0 = time.time()
             scals_parts, images = [], None
             nscore_sum = np.zeros_like(self.epoch_nscore)
             for ci, (a, b) in enumerate(bounds):
@@ -453,16 +465,22 @@ class Trainer:
                           f"({time.time() - t0:.0f}s elapsed)", flush=True)
                 if ci == 0:
                     images = images_c
+            phase_t["exec"] = time.time() - _pt0
             # every scal leaf is scan-stacked with leading dim (segment len)
+            _pt0 = time.time()
             scals = jax.tree.map(
                 lambda *xs: np.concatenate([np.asarray(x) for x in xs], 0),
                 *scals_parts)
+            phase_t["scal"] = time.time() - _pt0
             self.epoch_nscore += nscore_sum
+            _pt0 = time.time()
             if writer is not None:
                 self._log_images(writer, images, sched[0], optim_idx, epoch)
             if log_images_fn is not None:
                 log_images_fn(epoch, images, sched[0])
+            phase_t["img"] = time.time() - _pt0
 
+            _pt0 = time.time()
             scals = jax.tree.map(np.asarray, scals)
             if writer is not None:
                 # every step, per-hypothesis detail included — host-side
@@ -478,6 +496,7 @@ class Trainer:
                         for j in range(len(v)):
                             writer.add_scalar(f"train/{k}", float(v[j]),
                                               total_steps + 1 + j)
+            phase_t["tb"] = time.time() - _pt0
             total_steps += len(sched)
             if verbose:
                 dt = time.time() - t0
@@ -486,46 +505,30 @@ class Trainer:
                       f"loss {float(scals['total_loss'][-1]):.4f}", flush=True)
             if not bool(scals["grads_finite"].all()):
                 print("  warning: non-finite gradients were zeroed this epoch")
+            _pt0 = time.time()
             if (epoch + 1) % cfg.save_epoch_freq == 0:
                 self.save("latest", str(epoch + 1), epochs_done=epoch + 1)
+            phase_t["save"] = time.time() - _pt0
+            if os.environ.get("LASR_PHASE_TIMERS"):
+                print("    phase:", " ".join(f"{k}={v:.2f}s"
+                                             for k, v in phase_t.items()),
+                      flush=True)
         self.finish_saves()
         return self.params
 
     # ------------------------------------------------------------------
-    def _snapshot_host(self):
-        """Synchronous params snapshot as ONE raveled device->host read
-        (~3s for 57MB vs ~8s per-leaf on the tunneled TPU; the read must
-        finish before the next epoch_scan call donates these buffers)."""
-        if self._host_params is not None:
-            # params have not been updated on device yet (pre-training save).
-            # Deep-copy: the async save pool serializes this tree while
-            # reinit_bones() may concurrently mutate the live mirror, which
-            # could nondeterministically leak post-reinit bones into
-            # pred_net_0.npz.
-            return jax.tree.map(np.array, self._host_params)
-        leaves, treedef = jax.tree_util.tree_flatten(self.params)
-        # ravel_pytree promotes all leaves to one dtype; a non-f32 leaf
-        # would round-trip through float32 and silently corrupt.
-        bad = [l.dtype for l in leaves if l.dtype != jnp.float32]
-        assert not bad, f"non-float32 param leaves in snapshot path: {bad}"
-        if self._ravel_fn is None:
-            self._ravel_fn = jax.jit(
-                lambda p: jax.flatten_util.ravel_pytree(p)[0])
-        flat_dev = self._ravel_fn(self.params)
-        # chunked device->host read: one monolithic ~57MB transfer can wedge
-        # a tunneled TPU transport indefinitely (observed on the axon
-        # backend).  Each chunk read runs under a log-only slow-read monitor
-        # (_read_chunk): re-issuing a read concurrently aborts the runtime,
-        # so slow chunks are made visible but never raced.
+    def _read_flat(self, flat_dev):
+        """Chunked device->host read: one monolithic ~57MB transfer can
+        wedge a tunneled TPU transport indefinitely (observed on the axon
+        backend).  Each chunk read runs under a log-only slow-read monitor
+        (_read_chunk): re-issuing a read concurrently aborts the runtime,
+        so slow chunks are made visible but never raced."""
         CH = 1_000_000
         n = flat_dev.shape[0]
-        flat = np.concatenate([self._read_chunk(flat_dev, a, CH)
-                               for a in range(0, n, CH)]) if n > CH \
-            else np.asarray(flat_dev)
-        sizes = np.cumsum([l.size for l in leaves])[:-1]
-        host_leaves = [s.reshape(l.shape).astype(l.dtype) for s, l in
-                       zip(np.split(flat, sizes), leaves)]
-        return jax.tree_util.tree_unflatten(treedef, host_leaves)
+        if n > CH:
+            return np.concatenate([self._read_chunk(flat_dev, a, CH)
+                                   for a in range(0, n, CH)])
+        return np.asarray(flat_dev)
 
     @staticmethod
     def _read_chunk(flat_dev, a, CH, warn_every_s=120.0):
@@ -556,58 +559,96 @@ class Trainer:
         finally:
             done.set()
 
-    def _snapshot_opt_host(self):
-        """Optimizer-state snapshot: f32 leaves (Adam moments) as one
-        raveled chunk-watched device read, non-f32 leaves (schedule counts,
-        scalars) as individual tiny reads.  Ordered like tree_flatten."""
-        leaves, _ = jax.tree_util.tree_flatten(self.opt_state)
-        f32_idx = tuple(i for i, l in enumerate(leaves)
-                        if l.dtype == jnp.float32 and l.size > 0)
-        if self._ravel_opt_fn is None:
-            def _ravel(t):
-                ls = jax.tree_util.tree_leaves(t)
-                return jnp.concatenate([jnp.ravel(ls[i]) for i in f32_idx])
-            self._ravel_opt_fn = jax.jit(_ravel)
-        flat_dev = self._ravel_opt_fn(self.opt_state)
-        CH = 1_000_000
-        n = flat_dev.shape[0]
-        flat = np.concatenate([self._read_chunk(flat_dev, a, CH)
-                               for a in range(0, n, CH)]) if n > CH \
-            else np.asarray(flat_dev)
-        out, pos = [], 0
-        f32_set = set(f32_idx)
-        for i, l in enumerate(leaves):
-            if i in f32_set:
-                out.append(flat[pos: pos + l.size].reshape(l.shape))
-                pos += l.size
-            else:
-                out.append(np.asarray(l))
-        return out
-
     def save(self, *labels: str, epochs_done: int = 0):
-        """Checkpoint write: ONE device read for all labels (donation
-        safety requires it to be synchronous); the npz serialization +
-        disk writes run off-thread and overlap the next epoch's device
-        work."""
+        """Checkpoint write with the device->host reads OFF the critical
+        path: the main thread only ravels params and Adam moments into two
+        fresh device buffers (cheap HBM->HBM), then the save pool performs
+        the chunk-watched tunnel reads + npz writes while the next epoch's
+        device work proceeds.
+
+        Donation safety: epoch_scan donates params/opt_state, but the
+        raveled flats are NEW buffers jit produced — donation never
+        invalidates them.  The only donated leaves read here are the tiny
+        non-f32 optimizer counters, read synchronously below.  The single
+        pool worker serializes the reads against each other, and tunnel
+        wedges stay covered by the chunk monitor + stall watchdog +
+        optimize.py supervisor."""
         pre_training = self._host_params is not None
-        host_params = self._snapshot_host()
-        # opt moments are all-zero before training starts; skip the read
-        opt_leaves = None if pre_training else self._snapshot_opt_host()
         nscore = self.epoch_nscore.copy()
+        if pre_training:
+            # params never reached the device; deep-copy the host mirror
+            # (reinit_bones() may mutate it concurrently with the write)
+            job = {"host_params": jax.tree.map(np.array, self._host_params)}
+        else:
+            leaves, treedef = jax.tree_util.tree_flatten(self.params)
+            # ravel_pytree promotes all leaves to one dtype; a non-f32 leaf
+            # would round-trip through float32 and silently corrupt.
+            bad = [l.dtype for l in leaves if l.dtype != jnp.float32]
+            assert not bad, f"non-float32 param leaves in snapshot: {bad}"
+            if self._ravel_fn is None:
+                self._ravel_fn = jax.jit(
+                    lambda p: jax.flatten_util.ravel_pytree(p)[0])
+            oleaves, _ = jax.tree_util.tree_flatten(self.opt_state)
+            f32_idx = tuple(i for i, l in enumerate(oleaves)
+                            if l.dtype == jnp.float32 and l.size > 0)
+            if self._ravel_opt_fn is None:
+                def _ravel(t):
+                    ls = jax.tree_util.tree_leaves(t)
+                    return jnp.concatenate([jnp.ravel(ls[i])
+                                            for i in f32_idx])
+                self._ravel_opt_fn = jax.jit(_ravel)
+            job = {
+                "flat_dev": self._ravel_fn(self.params),
+                "meta": [(l.shape, l.size) for l in leaves],
+                "treedef": treedef,
+                "opt_flat_dev": self._ravel_opt_fn(self.opt_state),
+                "opt_f32_idx": f32_idx,
+                "opt_meta": [(l.shape, l.size) for l in oleaves],
+                # non-f32 leaves (schedule counts) live in the donated
+                # opt_state tree: read them now, they are scalars
+                "opt_small": {i: np.asarray(l)
+                              for i, l in enumerate(oleaves)
+                              if i not in set(f32_idx)},
+            }
         pending = []
         for f in self._save_futures:
             if f.done():
-                f.result()  # surface background write failures immediately
+                f.result()  # surface background failures immediately
             else:
                 pending.append(f)
         self._save_futures = pending
+        self._save_futures.append(self._save_pool.submit(
+            self._read_and_write, labels, job, nscore, epochs_done))
+
+    def _read_and_write(self, labels, job, nscore, epochs_done):
+        """Save-pool task: tunnel reads + checkpoint serialization."""
+        if "host_params" in job:
+            host_params, opt_leaves = job["host_params"], None
+        else:
+            flat = self._read_flat(job["flat_dev"])
+            host_leaves, pos = [], 0
+            for shape, size in job["meta"]:
+                host_leaves.append(
+                    flat[pos: pos + size].reshape(shape).astype(np.float32))
+                pos += size
+            host_params = jax.tree_util.tree_unflatten(job["treedef"],
+                                                       host_leaves)
+            oflat = self._read_flat(job["opt_flat_dev"])
+            f32_set = set(job["opt_f32_idx"])
+            opt_leaves, pos = [], 0
+            for i, (shape, size) in enumerate(job["opt_meta"]):
+                if i in f32_set:
+                    opt_leaves.append(oflat[pos: pos + size].reshape(shape))
+                    pos += size
+                else:
+                    opt_leaves.append(job["opt_small"][i])
         for label in labels:
             path = os.path.join(self.cfg.save_dir, f"pred_net_{label}.npz")
             # moments ride only on 'latest' (the resume target): numbered
             # epoch snapshots stay lean on disk
-            self._save_futures.append(self._save_pool.submit(
-                ckpt.save_checkpoint, path, host_params, self.model, nscore,
-                epochs_done, opt_leaves if label == "latest" else None))
+            ckpt.save_checkpoint(path, host_params, self.model, nscore,
+                                 epochs_done,
+                                 opt_leaves if label == "latest" else None)
 
     def finish_saves(self):
         for f in self._save_futures:

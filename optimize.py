@@ -29,6 +29,11 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# the container pre-imports jax (sitecustomize), so JAX_PLATFORMS from the
+# environment is ignored; LASR_PLATFORM=cpu forces a hermetic CPU run
+if os.environ.get("LASR_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["LASR_PLATFORM"])
+
 from absl import app, flags
 
 from lasr_tpu.config import LasrConfig
