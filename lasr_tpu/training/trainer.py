@@ -170,6 +170,7 @@ class Trainer:
         self._save_futures = []
         self._ravel_fn = None
         self._ravel_opt_fn = None
+        self._pack_fn = None
         self.log = None
         if cfg.checkpoint_dir:
             os.makedirs(cfg.save_dir, exist_ok=True)
@@ -455,7 +456,7 @@ class Trainer:
                                     jnp.asarray(epoch),
                                     jnp.asarray(a, jnp.int32),
                                     self.knobs())
-                scals_parts.append(scal_c)
+                scals_parts.append(self._pack_scals(scal_c))
                 nscore_sum += np.asarray(nscore_c)
                 self._beat()
                 if verbose and epoch == cfg.start_epoch and len(bounds) > 1:
@@ -475,7 +476,13 @@ class Trainer:
             self.epoch_nscore += nscore_sum
             _pt0 = time.time()
             if writer is not None:
-                self._log_images(writer, images, sched[0], optim_idx, epoch)
+                # off the critical path: the panel reads + host part render
+                # cost 1-20 s and are vis-only.  The image arrays are scan
+                # OUTPUTS (never donated), so the pool can read them while
+                # the next epoch runs; _log_images swallows its own errors.
+                self._save_futures.append(self._save_pool.submit(
+                    self._log_images, writer, images, sched[0], optim_idx,
+                    epoch))
             if log_images_fn is not None:
                 log_images_fn(epoch, images, sched[0])
             phase_t["img"] = time.time() - _pt0
@@ -517,6 +524,25 @@ class Trainer:
         return self.params
 
     # ------------------------------------------------------------------
+    def _pack_scals(self, scal_c):
+        """Fetch a scalar dict as ONE device->host transfer.
+
+        A dozen tiny leaves read individually cost a tunnel round trip
+        each (~2-3 s/epoch measured); packing them into one flat f32 array
+        on device makes it a single read."""
+        leaves, treedef = jax.tree_util.tree_flatten(scal_c)
+        if self._pack_fn is None:
+            self._pack_fn = jax.jit(lambda t: jnp.concatenate(
+                [jnp.ravel(x).astype(jnp.float32)
+                 for x in jax.tree_util.tree_leaves(t)]))
+        flat = np.asarray(self._pack_fn(scal_c))
+        out, pos = [], 0
+        for l in leaves:
+            out.append(flat[pos: pos + l.size].reshape(l.shape)
+                       .astype(l.dtype))
+            pos += l.size
+        return jax.tree_util.tree_unflatten(treedef, out)
+
     def _read_flat(self, flat_dev):
         """Chunked device->host read: one monolithic ~57MB transfer can
         wedge a tunneled TPU transport indefinitely (observed on the axon
@@ -709,28 +735,48 @@ class Trainer:
             print(f"image logging failed: {e}")
 
     def _part_render(self, verts_pre, skin):
-        """Rasterize the part-colored mesh on the host CPU backend.
+        """Part-colored mesh panel via an exact host hard raster: painter's
+        face-id buffer (far-to-near cv2.fillPoly) + barycentric color
+        interpolation — same technique as eval_badja's flow transport
+        (scripts/eval_badja.py:32), ~0.1 s vs ~20 s/epoch for the dense jnp
+        soft reference this replaces.  Vis only (hard vs soft edges are
+        indistinguishable in a part-segmentation panel).
 
-        verts_pre [V, 3] screen-space; skin [K-1, V] -> [S, S, 3] uint8."""
-        from ..ops.rasterize import RasterizeConfig, soft_rasterize
+        verts_pre [V, 3] screen-space (NDC xy, camera z); skin [K-1, V]
+        -> [S, S, 3] uint8."""
+        import cv2
+
         from ..utils.colormap import label_colormap
+        S = self.cfg.img_size
         colors = label_colormap()[: skin.shape[0]].astype(np.float32)
         vcol = (skin[..., None] * colors[:, None]).sum(0) / 256.0   # [V, 3]
-        faces = self.model.faces
-        fv = verts_pre[faces]                                       # [F, 3, 3]
-        ft = vcol[faces]
+        faces = np.asarray(self.model.faces)
+        # NDC -> pixel (inverse of softras_pallas._pixel_coords)
+        x = (verts_pre[:, 0] * S + S - 1.0) / 2.0
+        y = (S - 1.0 - verts_pre[:, 1] * S) / 2.0
+        pix = np.stack([x, y], 1)
         z = verts_pre[:, 2]
-        near = float(z.min() - (z.max() - z.min()) / 2) - 1e-3
-        far = float(z.max() + (z.max() - z.min()) / 2) + 1e-3
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            out = soft_rasterize(
-                jnp.asarray(fv[None]), jnp.asarray(ft[None]),
-                RasterizeConfig(image_size=self.cfg.img_size, sigma=1e-4,
-                                gamma=1e-4),
-                jnp.asarray([near]), jnp.asarray([far]), force_ref=True)
-            rgb = np.asarray(out)[0, :3]
-        return (255 * np.clip(rgb, 0, 1)).astype(np.uint8).transpose(1, 2, 0)
+        idbuf = np.full((S, S), -1, np.int32)
+        tris = np.round(pix[faces]).astype(np.int32)
+        for fi in np.argsort(-z[faces].mean(1)):    # far-to-near
+            cv2.fillPoly(idbuf, [tris[fi]], int(fi))
+        ys, xs = np.nonzero(idbuf >= 0)
+        if len(xs) == 0:
+            return None
+        fid = idbuf[ys, xs]
+        tri = pix[faces[fid]]                        # [N, 3, 2]
+        v0, v1 = tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]
+        p = np.stack([xs, ys], 1) - tri[:, 0]
+        den = v0[:, 0] * v1[:, 1] - v0[:, 1] * v1[:, 0]
+        den = np.where(np.abs(den) < 1e-12, 1e-12, den)
+        w1 = (p[:, 0] * v1[:, 1] - p[:, 1] * v1[:, 0]) / den
+        w2 = (v0[:, 0] * p[:, 1] - v0[:, 1] * p[:, 0]) / den
+        w = np.clip(np.stack([1.0 - w1 - w2, w1, w2], 1), 0, 1)
+        w /= w.sum(1, keepdims=True)
+        vals = (vcol[faces[fid]] * w[:, :, None]).sum(1)
+        out = np.zeros((S, S, 3), np.float32)
+        out[ys, xs] = vals
+        return (255 * np.clip(out, 0, 1)).astype(np.uint8)
 
 
 def build_mesh(cfg: LasrConfig):
