@@ -1,0 +1,65 @@
+#!/bin/bash
+# Round-4 benchmark queue (run AFTER scripts/train_flow.py finishes):
+#  1. camel mask-IoU measurement (CPU)
+#  2. spot3 rerun at HEAD (2 seeds) -> current-kernel headline
+#  3. warm spot3 timing with sparse image logging -> results/spot3_warm.json
+#  4. pika flow regen with the retrained flownet (gated on val EPE < 12px)
+#     + full 6-stage rerun + eval
+#  5. end-of-round kernel parity + test tiers are run separately
+#     (exp/run_r4_close.sh)
+cd /root/repo
+mkdir -p log results
+
+record() { echo "{\"run\": \"$1\", \"wall_s\": $2, \"rc\": $3}" >> log/matrix_walltime.jsonl; }
+
+# 1. mask substitute scored on camel (VERDICT r3 task 7; CPU-only)
+s=$SECONDS
+timeout 1200 python exp/mask_iou.py camel > /tmp/r4-maskiou.log 2>&1
+record maskiou_camel $((SECONDS - s)) $?
+
+# 2. spot3 at HEAD, two seeds (VERDICT r3 task 5)
+for seed in 0 1; do
+  s=$SECONDS
+  ( set -e
+    LASR_PHASE_TIMERS=1 bash scripts/spot3.sh spot3r4s$seed log
+    bash scripts/extract.sh spot3r4s$seed-1 spot3 26 1600
+    python scripts/eval_mesh.py --testdir log/spot3r4s$seed-1 \
+      --gtdir database/DAVIS/Meshes/Full-Resolution/syn-spot3f | tail -2
+  ) > /tmp/r4-spot3s$seed.log 2>&1
+  record spot3r4s$seed $((SECONDS - s)) $?
+done
+
+# 3. warm timing with the sparse image logging (VERDICT r3 tasks 3-4)
+s=$SECONDS
+LASR_PHASE_TIMERS=1 timeout 3600 bash exp/time_spot3_warm.sh spot3warm4 \
+  > /tmp/r4-warm.log 2>&1
+record spot3warm4 $((SECONDS - s)) $?
+
+# 4. pika with flownet flow, gated on the retrain beating DIS comfortably
+good=$(python -c "
+import json
+try:
+    v = json.load(open('results/flownet_val.json'))['mean_epe_mask']
+    print('yes' if v < 12.0 else 'no')
+except Exception:
+    print('no')")
+if [ "$good" = yes ]; then
+  s=$SECONDS
+  ( set -e
+    python preprocess/auto_gen.py --seqname pika --backend flownet \
+      --flow_threshold 0.05 --force
+    python preprocess/auto_gen.py --seqname pika --backend flownet \
+      --flow_threshold 0 --out pika --force
+    timeout 14000 bash scripts/template.sh pika pika4
+    bash scripts/extract.sh pika4-5 pika 36 2880
+    bash scripts/render_result.sh log/pika4-5
+    python scripts/eval_mesh.py --testdir log/pika4-5 \
+      --gtdir database/gt-pika | tail -2
+    python scripts/eval_badja.py --testdir log/pika4-5 --seqname pika-syn
+  ) > /tmp/r4-pika.log 2>&1
+  record pika4 $((SECONDS - s)) $?
+else
+  echo "flownet val gate failed; skipping pika rerun" >> /tmp/r4-pika.log
+fi
+
+echo R4-QUEUE-DONE

@@ -21,6 +21,12 @@ class LasrConfig:
     dataname: str = "spot3"
     sil_path: str = "none"
     save_epoch_freq: int = 1
+    # TB image panels every k epochs (always epoch 0 and the last epoch).
+    # The reference logs panels every epoch (ref:train_utils.py:301-329) but
+    # pays ~nothing for it on a local GPU; over the tunneled TPU the panel
+    # device->host reads measured 19-23 s/epoch (60-70% of epoch wall,
+    # round-3 phase timers), so the default here is sparse.
+    img_log_freq: int = 5
     seed: int = 0
 
     # optimization

@@ -130,9 +130,14 @@ def chain_for_sequence(davis_root: str, seq: str,
         fp = os.path.join(davis_root, "FlowFW", "Full-Resolution", seq,
                           f"flo-{i:05d}.pfm")
         flo, _ = read_pfm(fp)
-        h = masks.shape[1]
-        if flo.shape[0] != h:   # PFM rows may be stored bottom-up elsewhere
-            flo = cv2.resize(flo, (masks.shape[2], h))
+        h, w = masks.shape[1], masks.shape[2]
+        if flo.shape[:2] != (h, w):
+            # resolution mismatch (flow computed at a different size):
+            # resize the field AND rescale the vectors to mask-pixel units
+            sx, sy = w / flo.shape[1], h / flo.shape[0]
+            flo = cv2.resize(flo, (w, h))
+            flo = flo * np.asarray([sx, sy] + [1.0] * (flo.shape[-1] - 2),
+                                   np.float32)
         flows.append(np.ascontiguousarray(flo[..., :2]))
     return chain_rotations(masks.astype(np.float32), np.stack(flows),
                            max_points=max_points)

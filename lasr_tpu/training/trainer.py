@@ -167,6 +167,12 @@ class Trainer:
         from concurrent.futures import ThreadPoolExecutor
         self._save_pool = ThreadPoolExecutor(max_workers=1,
                                              thread_name_prefix="ckpt_save")
+        # image-panel logging gets its own single worker: a slow panel
+        # render/transfer must not delay checkpoint persistence (and the
+        # single-writer-thread-per-kind ordering keeps tensorboardX usage
+        # effectively serialized per stream)
+        self._img_pool = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="img_log")
         self._save_futures = []
         self._ravel_fn = None
         self._ravel_opt_fn = None
@@ -475,12 +481,20 @@ class Trainer:
             phase_t["scal"] = time.time() - _pt0
             self.epoch_nscore += nscore_sum
             _pt0 = time.time()
-            if writer is not None:
+            # Panels only every img_log_freq epochs (plus first and last):
+            # the device->host reads of the panel arrays measured 19-23 s
+            # per epoch over the tunnel (round-3 phase timers) — 60-70% of
+            # epoch wall-clock for a vis-only artifact.  The reference logs
+            # every epoch (ref:train_utils.py:301-329) at ~zero local cost.
+            f = cfg.img_log_freq
+            log_imgs = f > 0 and (epoch % f == 0
+                                  or epoch == cfg.num_epochs - 1)
+            if writer is not None and log_imgs:
                 # off the critical path: the panel reads + host part render
-                # cost 1-20 s and are vis-only.  The image arrays are scan
-                # OUTPUTS (never donated), so the pool can read them while
-                # the next epoch runs; _log_images swallows its own errors.
-                self._save_futures.append(self._save_pool.submit(
+                # are vis-only.  The image arrays are scan OUTPUTS (never
+                # donated), so the pool can read them while the next epoch
+                # runs; _log_images swallows its own errors.
+                self._save_futures.append(self._img_pool.submit(
                     self._log_images, writer, images, sched[0], optim_idx,
                     epoch))
             if log_images_fn is not None:
@@ -680,6 +694,14 @@ class Trainer:
         for f in self._save_futures:
             f.result()
         self._save_futures = []
+
+    def close(self):
+        """Drain pending background work and stop the worker threads.
+        Multi-stage drivers (pipeline.py) construct one Trainer per stage;
+        without this each stage leaks its pool threads."""
+        self.finish_saves()
+        self._save_pool.shutdown(wait=True)
+        self._img_pool.shutdown(wait=True)
 
     def _tb_writer(self):
         try:

@@ -52,6 +52,9 @@ flags.DEFINE_integer("hypo_shards", 1,
                      "SPMD shards over the camera-hypothesis axis "
                      "(stage-0 scaling: n_hypo must divide evenly)")
 flags.DEFINE_integer("save_epoch_freq", 1, "save model every k epochs")
+flags.DEFINE_integer("img_log_freq", 5,
+                     "TB image panels every k epochs (0 = never; epoch 0 "
+                     "and the final epoch are always logged)")
 flags.DEFINE_integer("img_size", 256, "image size")
 flags.DEFINE_integer("nz_feat", 200, "Encoded feature size")
 flags.DEFINE_integer("subdivide", 3, "icosphere subdivisions")
@@ -118,6 +121,7 @@ def config_from_flags() -> LasrConfig:
         ngpu=FLAGS.ngpu,
         hypo_shards=FLAGS.hypo_shards,
         save_epoch_freq=FLAGS.save_epoch_freq,
+        img_log_freq=FLAGS.img_log_freq,
         img_size=FLAGS.img_size,
         nz_feat=FLAGS.nz_feat,
         subdivide=FLAGS.subdivide,

@@ -21,8 +21,11 @@ Usage:
 Per-stage wall-clocks are printed and written to
 <checkpoint_dir>/<last name>_stage_walls.json.
 
-No elastic supervisor here (use per-stage optimize.py --max_retries for
-long unattended runs); this is the low-overhead path for short pipelines.
+Elastic recovery: with --max_retries > 0 (default 2) a supervisor parent
+reruns the pipeline child on crash or stall-watchdog exit, dropping stages
+whose checkpoints are complete and resuming the in-progress stage from its
+pred_net_latest.npz — same recovery semantics as optimize.py's per-stage
+supervisor, but across the whole schedule.
 """
 
 from __future__ import annotations
@@ -49,6 +52,69 @@ if os.environ.get("LASR_PLATFORM"):
 import optimize  # noqa: E402  (registers the shared absl flag schema)
 
 
+def _stage_status(stage_flags):
+    """(epochs done, epochs wanted, latest-checkpoint path) for one stage."""
+    import numpy as np
+
+    FLAGS = optimize.flags.FLAGS
+    FLAGS.unparse_flags()
+    FLAGS(["pipeline.py"] + shlex.split(stage_flags))
+    latest = os.path.join(FLAGS.checkpoint_dir, FLAGS.name,
+                          "pred_net_latest.npz")
+    done = 0
+    if os.path.exists(latest):
+        try:
+            done = int(np.load(latest)["__epochs_done"])
+        except Exception:       # noqa: BLE001  (corrupt partial write)
+            done = 0
+    return done, FLAGS.num_epochs, latest
+
+
+def _resume_stages(stage_list):
+    """Restart plan after a crash: drop stages whose checkpoints are
+    complete, resume a partially-done stage from its latest checkpoint."""
+    out = []
+    for s in stage_list:
+        done, total, latest = _stage_status(s)
+        if done >= total:
+            continue
+        if done > 0:
+            # absl: later duplicate flags override earlier ones
+            s = f"{s} --start_epoch={done} --model_path={latest}"
+        out.append(s)
+    return out
+
+
+def _supervise(args) -> int:
+    """Pipeline-level elastic recovery, mirroring optimize.py's supervisor:
+    on child crash (TPU worker death) or stall-watchdog exit, restart the
+    pipeline with completed stages dropped and the in-progress stage resumed
+    from its latest checkpoint (stage hand-off is via files on disk, so a
+    dropped stage's successor still finds its pred_net_latest.npz)."""
+    import subprocess
+
+    tries = 0
+    while True:
+        stages = args.stage if not tries else _resume_stages(args.stage)
+        if not stages:
+            return 0
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        for s in stages:
+            cmd += ["--stage", s]
+        if args.timing_out:
+            cmd += ["--timing_out", args.timing_out]
+        cmd += ["--max_retries", "0"]
+        rc = subprocess.call(cmd, env=dict(os.environ, LASR_CHILD="1"))
+        if rc == 0:
+            return 0
+        tries += 1
+        if tries > args.max_retries:
+            return rc
+        print(f"pipeline supervisor: attempt {tries} exited rc={rc}; "
+              "restarting from latest checkpoints", flush=True)
+        time.sleep(20)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stage", action="append", required=True,
@@ -56,7 +122,15 @@ def main(argv=None):
                     "once per stage, in execution order")
     ap.add_argument("--timing_out", default="",
                     help="optional json path for per-stage wall-clocks")
+    ap.add_argument("--max_retries", type=int, default=2,
+                    help="elastic restarts on crash/stall (0 = run inline)")
     args = ap.parse_args(argv)
+
+    if args.max_retries > 0 and not os.environ.get("LASR_CHILD"):
+        rc = _supervise(args)
+        if rc:
+            sys.exit(rc)
+        return
 
     from lasr_tpu.training.trainer import Trainer
 
@@ -76,6 +150,7 @@ def main(argv=None):
         trainer.train()
         reuse_key = key
         dataset, dev_arrays = trainer.dataset, trainer.dev_arrays
+        trainer.close()  # drain saves, stop pool threads (one pair/stage)
         del trainer     # free device params/opt_state before the next stage
         walls[cfg.name] = round(time.time() - t0, 1)
         print(f"pipeline: stage {i} ({cfg.name}) done in "

@@ -1,10 +1,15 @@
 #!/bin/bash
 # Full self-supervised schedule (parity with ref:scripts/spot3.sh).
+# Runs through the single-process multi-stage driver (pipeline.py): one
+# process start, one video preprocessing + device upload + in-memory
+# compile cache shared by both stages (chained optimize.py processes paid
+# 77-456 s of startup per stage through the tunnel, round-3 phase data).
 set -e
 logname=${1:-spot3}
 checkpoint_dir=${2:-log}
 dataname=spot3
 nepoch=10
 
-python optimize.py --name=$logname-0 --checkpoint_dir $checkpoint_dir --only_mean_sym --nouse_gtpose --subdivide 3 --n_bones 21 --n_hypo 8 --num_epochs 5 --dataname $dataname --batch_size 1 --opt_tex yes
-python optimize.py --name=$logname-1 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 26 --n_faces 1600 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-0/pred_net_latest.npz --dataname $dataname --batch_size 1 --opt_tex yes
+python pipeline.py \
+  --stage "--name=$logname-0 --checkpoint_dir $checkpoint_dir --only_mean_sym --nouse_gtpose --subdivide 3 --n_bones 21 --n_hypo 8 --num_epochs 5 --dataname $dataname --batch_size 1 --opt_tex yes" \
+  --stage "--name=$logname-1 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 26 --n_faces 1600 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-0/pred_net_latest.npz --dataname $dataname --batch_size 1 --opt_tex yes"
