@@ -57,17 +57,30 @@ def warp(img, flow):
 
 
 def local_corr(f0, f1, radius: int = 4):
-    """Normalized local correlation volume [N, H, W, (2r+1)^2]."""
+    """Cosine-similarity local correlation volume [N, H, W, (2r+1)^2].
+
+    Features are L2-normalized along channels so entries live in [-1, 1]:
+    the v2 net's mean/sqrt(C) scaling left the correlation ~1000x smaller
+    than the concatenated feature activations, and the estimator learned to
+    ignore it — memorizing tiny sets through the feature path while
+    collapsing to the zero-flow basin on diverse data (the round-3 failure
+    measured in results/flownet_val.json)."""
     N, H, W, C = f0.shape
+    # rsqrt(sum^2 + eps): finite gradients at zero-norm pixels (black
+    # borders / padding), unlike x/(|x| + eps) whose VJP divides by |x|
+    f0 = f0 * jax.lax.rsqrt(
+        jnp.sum(f0 * f0, -1, keepdims=True) + 1e-4)
+    f1 = f1 * jax.lax.rsqrt(
+        jnp.sum(f1 * f1, -1, keepdims=True) + 1e-4)
     r = radius
     p = jnp.pad(f1, ((0, 0), (r, r), (r, r), (0, 0)))
     rows = []
     for dy in range(2 * r + 1):
         for dx in range(2 * r + 1):
-            rows.append(jnp.mean(
+            rows.append(jnp.sum(
                 f0 * jax.lax.dynamic_slice(
                     p, (0, dy, dx, 0), (N, H, W, C)), -1))
-    return jnp.stack(rows, -1) / np.sqrt(C)
+    return jnp.stack(rows, -1)
 
 
 class ConvBlock(nn.Module):
@@ -172,10 +185,11 @@ def multiscale_loss(outs, gt_flow, mask=None):
     # before and after the context refinement
     weights = (0.32, 0.16, 0.08, 0.08)
     for w, out in zip(weights, outs):
-        h = out.shape[1]
-        s = h / H
-        gt = jax.image.resize(gt_flow, (N, h, out.shape[2], 2),
-                              "bilinear") * s
+        h, wd = out.shape[1], out.shape[2]
+        # per-axis scale: x by width ratio, y by height ratio (differs only
+        # for non-square inputs; all current callers are square)
+        s = jnp.asarray([wd / W, h / H], gt_flow.dtype)
+        gt = jax.image.resize(gt_flow, (N, h, wd, 2), "bilinear") * s
         err = jnp.sqrt(jnp.sum((out - gt) ** 2, -1) + 1e-8)
         if mask is not None:
             m = jax.image.resize(mask.astype(jnp.float32),
@@ -190,8 +204,9 @@ def full_res_flow(outs, size):
     """Finest prediction upsampled to `size` (H, W) in pixel units."""
     out = outs[-1]
     N, h, w, _ = out.shape
+    scale = jnp.asarray([size[1] / w, size[0] / h], out.dtype)
     return jax.image.resize(out, (N, size[0], size[1], 2),
-                            "bilinear") * (size[0] / h)
+                            "bilinear") * scale
 
 
 # ----------------------------------------------------------------------
@@ -239,7 +254,12 @@ def make_backend(weights_path: str, infer_size: int = 256):
         incons = np.linalg.norm(fw[..., :2] + bw_at[..., :2], axis=-1)
         thresh = 0.05 * (np.linalg.norm(fw[..., :2], axis=-1)
                          + np.linalg.norm(bw_at[..., :2], axis=-1)) + 3.0
-        occ = np.where(incons < thresh, 1.0, -1.0).astype(np.float32)
+        # Sign convention (must match the DIS backend and the VCN scores the
+        # reference ships, ref:dataloader/vidbase.py:151): the flow loss
+        # weights pixels by sigmoid(-occ) (lasr.py, ref:mesh_net.py:403-406),
+        # so CONSISTENT pixels need a large NEGATIVE score (weight ~1) and
+        # occluded ones a large positive score (weight ~0).
+        occ = np.where(incons < thresh, -10.0, 10.0).astype(np.float32)
         scale = np.array([W / infer_size, H / infer_size], np.float32)
         flow = np.concatenate([fw * scale, occ[..., None]], -1)
         flow = cv2.resize(flow, (W, H), interpolation=cv2.INTER_LINEAR)

@@ -104,6 +104,20 @@ def main():
     im0, im1, flow, mask = load_shards(args.data)
     n = len(im0)
     print(f"{n} pairs loaded")
+
+    # TPU-first data path: the whole training set lives device-resident
+    # (uint8 images + f32 flow, ~1.5 GB — fits HBM comfortably) and batches
+    # are gathered ON DEVICE by index.  The original host-side feed pushed
+    # ~5 MB/iter through the tunneled transport and measured 1.1 it/s with
+    # the chip >95% idle.
+    dev = {
+        "im0": jnp.asarray(im0),                      # uint8 [N, S, S, 3]
+        "im1": jnp.asarray(im1),
+        "flow": jnp.asarray(flow),                    # f32 [N, S, S, 2]
+        "mask": jnp.asarray(mask.astype(np.uint8)),   # [N, S, S]
+    }
+    del im0, im1, flow, mask
+
     net = flownet.FlowNet()
     r = np.random.RandomState(args.seed)
     params = net.init(jax.random.PRNGKey(args.seed),
@@ -112,38 +126,73 @@ def main():
     opt = optax.adamw(sched, weight_decay=1e-5)
     opt_state = opt.init(params)
 
+    # one dispatch = CHUNK optimizer steps (lax.scan): removes the per-step
+    # tunnel round trip (~0.5-1 s each) from the critical path
+    CHUNK = 100
+
     @jax.jit
-    def step(params, opt_state, a, b, f, m):
-        def loss_fn(p):
-            outs = net.apply(p, a, b)
-            return flownet.multiscale_loss(outs, f, m)
-        loss, g = jax.value_and_grad(loss_fn)(params)
-        up, opt_state = opt.update(g, opt_state, params)
-        return optax.apply_updates(params, up), opt_state, loss
+    def run_chunk(params, opt_state, data, idx, gain):
+        def one(carry, sg):
+            p, s = carry
+            ids, g8 = sg
+
+            def loss_fn(p):
+                a = data["im0"][ids].astype(jnp.float32) / 255.0
+                b = data["im1"][ids].astype(jnp.float32) / 255.0
+                # photometric augmentation: channel gains shared by both
+                # frames (appearance constancy); gain 1 = off
+                a = jnp.clip(a * g8, 0, 1)
+                b = jnp.clip(b * g8, 0, 1)
+                outs = net.apply(p, a, b)
+                return flownet.multiscale_loss(
+                    outs, data["flow"][ids],
+                    data["mask"][ids].astype(jnp.float32))
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            up, s = opt.update(grads, s, p)
+            return (optax.apply_updates(p, up), s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), (idx, gain))
+        return params, opt_state, losses
+
+    # fixed training batch for an interpretable progress metric: full-res
+    # in-mask EPE (the multiscale loss hides whether the net is learning
+    # flow or collapsing to the zero-flow basin)
+    epe_ids = np.arange(0, n, max(1, n // 8))[:8]
+    epe_m = np.asarray(dev["mask"][epe_ids]) > 0
+    epe_gt = np.asarray(dev["flow"][epe_ids])
+
+    @jax.jit
+    def train_epe(params, data):
+        a = data["im0"][epe_ids].astype(jnp.float32) / 255.0
+        b = data["im1"][epe_ids].astype(jnp.float32) / 255.0
+        outs = net.apply(params, a, b)
+        return flownet.full_res_flow(outs, a.shape[1:3])
 
     t0 = time.time()
-    losses = []
-    for it in range(args.iters):
-        idx = r.randint(0, n, args.batch)
-        a = jnp.asarray(im0[idx], jnp.float32) / 255.0
-        b = jnp.asarray(im1[idx], jnp.float32) / 255.0
-        f = jnp.asarray(flow[idx])
-        m = jnp.asarray(mask[idx], jnp.float32)
-        # photometric augmentation: channel gains + brightness, same for
-        # both frames (appearance constancy) half the time, separate half
-        if r.rand() < 0.5:
-            gain = jnp.asarray(r.uniform(0.8, 1.2, (args.batch, 1, 1, 3)),
-                               jnp.float32)
-            a, b = jnp.clip(a * gain, 0, 1), jnp.clip(b * gain, 0, 1)
-        params, opt_state, loss = step(params, opt_state, a, b, f, m)
-        losses.append(float(loss))
-        if (it + 1) % 200 == 0:
-            rate = (it + 1) / (time.time() - t0)
-            print(f"iter {it + 1}/{args.iters} loss {np.mean(losses[-200:]):.3f} "
-                  f"({rate:.1f} it/s)", flush=True)
+    done = 0
+    while done < args.iters:
+        k = min(CHUNK, args.iters - done)
+        idx = r.randint(0, n, (k, args.batch)).astype(np.int32)
+        gain = np.ones((k, args.batch, 1, 1, 3), np.float32)
+        aug = r.rand(k) < 0.5
+        gain[aug] = r.uniform(0.8, 1.2,
+                              (int(aug.sum()), args.batch, 1, 1, 3))
+        params, opt_state, losses = run_chunk(
+            params, opt_state, dev, jnp.asarray(idx), jnp.asarray(gain))
+        losses = np.asarray(losses)       # host read: chunk provably done
+        done += k
+        rate = done / (time.time() - t0)
+        err = np.linalg.norm(
+            np.asarray(train_epe(params, dev)) - epe_gt, axis=-1)
+        print(f"iter {done}/{args.iters} loss {losses.mean():.3f} "
+              f"train-EPE {err[epe_m].mean():.2f}px ({rate:.1f} it/s)",
+              flush=True)
+        # periodic persistence: a crash/timeout keeps the latest weights
+        os.makedirs(os.path.dirname(WEIGHTS), exist_ok=True)
+        flownet.save_params(WEIGHTS, jax.tree.map(np.asarray, params))
 
-    os.makedirs(os.path.dirname(WEIGHTS), exist_ok=True)
-    flownet.save_params(WEIGHTS, jax.tree.map(np.asarray, params))
     print(f"saved {WEIGHTS}")
     validate()
 

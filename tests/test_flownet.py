@@ -70,3 +70,34 @@ def test_full_res_flow_scaling():
     full = np.asarray(flownet.full_res_flow(outs, (64, 64)))
     assert full.shape == (1, 64, 64, 2)
     np.testing.assert_allclose(full, 4.0)    # 1/4-res flow of 1px -> 4px
+
+
+def test_full_res_flow_nonsquare_per_axis_scaling():
+    # 1px of flow at 16x8 upsampled to 64x64 is x2 horizontal, x4 vertical
+    outs = [jnp.ones((1, 16, 8, 2))]
+    full = np.asarray(flownet.full_res_flow(outs, (64, 64)))
+    np.testing.assert_allclose(full[..., 0], 8.0)   # x: 64/8
+    np.testing.assert_allclose(full[..., 1], 4.0)   # y: 64/16
+
+
+def test_backend_occ_sign_convention(tmp_path, monkeypatch):
+    """The flow loss weights pixels by sigmoid(-occ) (lasr.py, matching
+    ref:mesh_net.py:403-406): CONSISTENT pixels must carry a large NEGATIVE
+    occ score (weight ~1).  Round-3 advisor found the flownet backend
+    emitting the inverted (and muted) convention."""
+    net = flownet.FlowNet()            # default radius: must match make_backend
+    im = jnp.zeros((1, 32, 32, 3))
+    params = net.init(jax.random.PRNGKey(0), im, im)
+    wpath = str(tmp_path / "w.npz")
+    flownet.save_params(wpath, params)
+
+    backend = flownet.make_backend(wpath, infer_size=32)
+    img = (np.random.RandomState(3).rand(32, 32, 3) * 255).astype(np.uint8)
+    # identical frames -> fw and bw flow agree (both ~the same small field),
+    # so forward-backward consistency holds everywhere
+    flow, occ = backend(img, img)
+    assert flow.shape == (32, 32, 3)
+    w = 1.0 / (1.0 + np.exp(occ))            # sigmoid(-occ)
+    assert np.median(w) > 0.99, (
+        f"consistent pixels must get ~full flow-loss weight, got median "
+        f"{np.median(w):.3f} (occ median {np.median(occ):.2f})")
