@@ -35,7 +35,15 @@ def main():
     tmp = f"{seq}-maskgt-tmp"
 
     gt_dir = f"{root}/Annotations/Full-Resolution/{tmp}"
-    if not os.path.isdir(gt_dir):
+    nframes = int(SOURCES[seq][SOURCES[seq].index("--nframes") + 1])
+    # completeness check on the LAST frame: a timeout-killed render leaves
+    # a partial dir that a bare isdir() would silently trust
+    last = os.path.join(gt_dir, f"{nframes - 1:05d}.png")
+    if not os.path.exists(last):
+        for sub in ("JPEGImages", "Annotations", "FlowFW", "FlowBW",
+                    "Camera", "Meshes"):
+            shutil.rmtree(f"{root}/{sub}/Full-Resolution/{tmp}",
+                          ignore_errors=True)
         subprocess.run([sys.executable, "scripts/render_syn.py",
                         "--outdir", tmp] + SOURCES[seq], check=True)
 
