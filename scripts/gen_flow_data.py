@@ -110,6 +110,12 @@ def main():
     ap.add_argument("--shard_size", type=int, default=100)
     ap.add_argument("--outdir", default="database/flow_syn")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--shard_offset", type=int, default=0,
+                    help="first shard index (append to an existing set)")
+    ap.add_argument("--motion_scale", type=float, default=1.0,
+                    help="scale the pose-delta ranges: the benchmark "
+                    "sequences step ~25-35px of flow (render_syn orbit) "
+                    "while the default ranges average ~19px")
     ap.add_argument("--device", default="cpu")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
@@ -139,7 +145,7 @@ def main():
     r = np.random.RandomState(args.seed)
     focal = 10.0
     buf = {k: [] for k in ("im0", "im1", "flow", "mask")}
-    shard = 0
+    shard = args.shard_offset
     t0 = time.time()
     # block accumulation: the tunneled TPU pays ~1s per dispatch round-trip,
     # so geometry for BLOCK pairs is built host-side and rendered in four
@@ -192,7 +198,7 @@ def main():
         wave = r.uniform(0.0, 0.35)
         bob = r.uniform(0.0, 0.4)
         ph0 = r.rand()
-        ph1 = ph0 + r.uniform(0.0, 0.12)
+        ph1 = ph0 + r.uniform(0.0, 0.12) * args.motion_scale
         va = articulate(overts, None, ph0, amp, wave, bob)
         vb = articulate(overts, None, ph1, amp, wave, bob)
 
@@ -200,11 +206,12 @@ def main():
         R0 = rodrigues(r.standard_normal(3) * 10)     # ~uniform orientation
         axis = r.standard_normal(3)
         axis /= np.linalg.norm(axis)
-        Rrel = rodrigues(axis * np.radians(r.uniform(2.0, 45.0)))
+        Rrel = rodrigues(axis * np.radians(
+            r.uniform(2.0, min(45.0 * args.motion_scale, 60.0))))
         depth0 = r.uniform(8.0, 14.0)
-        depth1 = depth0 * np.exp(r.uniform(-0.08, 0.08))
+        depth1 = depth0 * np.exp(r.uniform(-0.08, 0.08) * args.motion_scale)
         t2d0 = r.uniform(-0.25, 0.25, 2) * depth0 / focal
-        t2d1 = t2d0 + r.uniform(-0.06, 0.06, 2)
+        t2d1 = t2d0 + r.uniform(-0.06, 0.06, 2) * args.motion_scale
         T0 = np.array([t2d0[0], t2d0[1], depth0])
         T1 = np.array([t2d1[0], t2d1[1], depth1])
 

@@ -12,11 +12,17 @@ and records validation EPE to results/flownet_val.json.
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import glob
 import json
 import os
+import signal
 import sys
 import time
+
+# `kill -USR1 <pid>` dumps stacks instead of (the default) terminating —
+# tunnel stalls during the long device upload are otherwise undiagnosable
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -113,7 +119,9 @@ def main():
     dev = {
         "im0": jnp.asarray(im0),                      # uint8 [N, S, S, 3]
         "im1": jnp.asarray(im1),
-        "flow": jnp.asarray(flow),                    # f32 [N, S, S, 2]
+        # f16 at rest (the shards' storage dtype): halves the one-time
+        # tunnel upload; cast to f32 per-batch on device
+        "flow": jnp.asarray(flow.astype(np.float16)),
         "mask": jnp.asarray(mask.astype(np.uint8)),   # [N, S, S]
     }
     del im0, im1, flow, mask
@@ -145,7 +153,7 @@ def main():
                 b = jnp.clip(b * g8, 0, 1)
                 outs = net.apply(p, a, b)
                 return flownet.multiscale_loss(
-                    outs, data["flow"][ids],
+                    outs, data["flow"][ids].astype(jnp.float32),
                     data["mask"][ids].astype(jnp.float32))
 
             loss, grads = jax.value_and_grad(loss_fn)(p)
@@ -161,7 +169,7 @@ def main():
     # flow or collapsing to the zero-flow basin)
     epe_ids = np.arange(0, n, max(1, n // 8))[:8]
     epe_m = np.asarray(dev["mask"][epe_ids]) > 0
-    epe_gt = np.asarray(dev["flow"][epe_ids])
+    epe_gt = np.asarray(dev["flow"][epe_ids]).astype(np.float32)
 
     @jax.jit
     def train_epe(params, data):
