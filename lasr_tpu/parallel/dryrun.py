@@ -161,6 +161,49 @@ def run(n_devices: int) -> None:
     print(f"dryrun_multichip({n_devices}): 2D mesh (data={dp} x hypo=2) "
           f"scanned-epoch loss={losses[-1]:.4f} OK")
 
+    # scaling sanity-check (BASELINE.md projection input): steady per-step
+    # wall of the SAME scanned-epoch program on the n-device mesh vs one
+    # device.  Absolute CPU times say nothing about TPU throughput, but the
+    # RATIO exposes any sharding overhead that would also tax real chips
+    # (per-step collectives, resharding, host sync).  Opt-in: it costs
+    # minutes of virtual-CPU compute the driver's compile-check dryrun
+    # doesn't need (LASR_DRYRUN_TIMING=1 to enable).
+    import os as _os
+    if not _os.environ.get("LASR_DRYRUN_TIMING"):
+        return
+    import time as _time
+
+    def _steady_ms(programs_, cfg_, mesh_, params_, opt_state_, steps_=8):
+        sched_ = np.zeros((steps_, cfg_.ngpu * cfg_.batch_size), np.int32)
+        ids_ = put_sharded_schedule(sched_, mesh_) if mesh_ is not None \
+            else jnp.asarray(sched_)
+        args = (dev_arrays, ids_, jnp.asarray(0, jnp.int32),
+                jnp.asarray(0), jnp.asarray(0, jnp.int32), knobs)
+        p_, s_, sc, *_ = programs_["epoch_scan"](params_, opt_state_, *args)
+        np.asarray(sc["total_loss"])                    # compile + settle
+        t0 = _time.time()
+        p_, s_, sc, *_ = programs_["epoch_scan"](p_, s_, *args)
+        np.asarray(sc["total_loss"])                    # host read barrier
+        return (_time.time() - t0) * 1e3 / steps_
+
+    ms_mesh = _steady_ms(programs, cfg2, mesh2, params2, opt_state2)
+    # same GLOBAL work on one device: the mesh step consumes
+    # ngpu*batch_size pairs, so the single-device reference must too
+    cfg1 = dataclasses.replace(cfg2, ngpu=1, hypo_shards=1,
+                               batch_size=cfg2.ngpu * cfg2.batch_size)
+    model1 = LasrModel(cfg1)
+    opt1 = make_optimizer(cfg1, steps_per_epoch=4)
+    params1 = model1.init_params
+    with jax.default_device(jax.devices()[0]):
+        opt_state1 = opt1.init(params1)
+    programs1 = build_programs(cfg1, model1, opt1, None)
+    ms_one = _steady_ms(programs1, cfg1, None, params1, opt_state1)
+    print(f"dryrun_multichip({n_devices}): scanned-epoch steady "
+          f"{ms_mesh:.0f} ms/step on the {n_devices}-device mesh vs "
+          f"{ms_one:.0f} ms/step single-device "
+          f"(x{ms_one / max(ms_mesh, 1e-9):.2f} speedup, "
+          f"{n_devices // 2}-way data x 2-way hypo, CPU devices)")
+
 
 if __name__ == "__main__":
     import sys
