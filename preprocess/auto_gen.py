@@ -142,6 +142,15 @@ def main():
     # recompress the input frames in place
     write_frames = os.path.abspath(dirs["JPEGImages"]) != \
         os.path.abspath(datapath)
+    # A re-run with a different backend/threshold can keep FEWER frames
+    # than a previous filtering; stale leftovers past the new count make
+    # the dataset inconsistent (a 26th frame with no flo-00024.pfm crashed
+    # the camera chain).  Clear regenerated dirs up front.
+    for key, d in dirs.items():
+        if key in ("JPEGImages", "Annotations") and not write_frames:
+            continue
+        for f in glob.glob(os.path.join(d, "*")):
+            os.remove(f)
 
     inx, jnx, ix = 0, 1, 0
     while jnx < len(imgs):
