@@ -31,6 +31,8 @@ SOURCES = {
 
 def main():
     seq = sys.argv[1] if len(sys.argv) > 1 else "camel"
+    keep = "--keep" in sys.argv   # keep the re-rendered GT tree on disk
+                                  # (exp/mask_flow_ab.py scores against it)
     root = "database/DAVIS"
     tmp = f"{seq}-maskgt-tmp"
 
@@ -81,11 +83,12 @@ def main():
     print(f"{seq}: mean IoU {out['mean_iou']:.3f} (min {out['min_iou']:.3f}) "
           f"over {len(ious)} frames -> {path}")
 
-    # clean the re-rendered GT tree (large; regenerable)
-    for sub in ("JPEGImages", "Annotations", "FlowFW", "FlowBW", "Camera",
-                "Meshes"):
-        shutil.rmtree(f"{root}/{sub}/Full-Resolution/{tmp}",
-                      ignore_errors=True)
+    if not keep:
+        # clean the re-rendered GT tree (large; regenerable)
+        for sub in ("JPEGImages", "Annotations", "FlowFW", "FlowBW",
+                    "Camera", "Meshes"):
+            shutil.rmtree(f"{root}/{sub}/Full-Resolution/{tmp}",
+                          ignore_errors=True)
 
 
 if __name__ == "__main__":
