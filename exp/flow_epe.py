@@ -26,7 +26,16 @@ from preprocess.auto_gen import dis_flow_backend
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", default="syn-dog-15")
+    ap.add_argument("--backend", default="dis", choices=("dis", "flownet"))
     args = ap.parse_args()
+    if args.backend == "flownet":
+        import jax
+        jax.config.update("jax_platforms", "cpu")   # measurement tool;
+        # leave the chip to whatever training run holds it
+        from lasr_tpu.models.flownet import make_backend
+        backend_fn = make_backend("database/misc/flownet.npz")
+    else:
+        backend_fn = dis_flow_backend
     root = "database/DAVIS"
     imgs = sorted(glob.glob(
         f"{root}/JPEGImages/Full-Resolution/{args.seq}/*.jpg"))
@@ -39,7 +48,7 @@ def main():
         gt, _ = read_pfm(
             f"{root}/FlowFW/Full-Resolution/{args.seq}/flo-{i:05d}.pfm")
         gt = gt[..., :2]
-        dis, occ = dis_flow_backend(im0, im1)
+        dis, occ = backend_fn(im0, im1)
         err = np.linalg.norm(dis[..., :2] - gt, axis=-1)
         mag = np.linalg.norm(gt, axis=-1)
         rows.append(dict(pair=i,
@@ -53,12 +62,15 @@ def main():
         seq=args.seq,
         mean_epe_mask=float(np.mean([r["epe_mask"] for r in rows])),
         mean_gt_mag=float(np.mean([r["gt_mag_mask"] for r in rows])),
-        backend="DIS (preset MEDIUM) + fw/bw occlusion",
+        backend=("DIS (preset MEDIUM) + fw/bw occlusion"
+                 if args.backend == "dis" else
+                 "in-repo flownet (database/misc/flownet.npz)"),
         note="EPE inside the GT object mask, pixels; occfree = where the "
              "forward-backward occlusion score accepts the match",
         pairs=rows)
     os.makedirs("results", exist_ok=True)
-    out = f"results/flow_epe_{args.seq}.json"
+    suffix = "" if args.backend == "dis" else f"_{args.backend}"
+    out = f"results/flow_epe_{args.seq}{suffix}.json"
     json.dump(summary, open(out, "w"), indent=1)
     print(f"mean EPE (mask) {summary['mean_epe_mask']:.2f}px on motion of "
           f"{summary['mean_gt_mag']:.2f}px -> {out}")
