@@ -252,6 +252,13 @@ def main():
     extra = {"raster_image_size": 256, "raster_faces": 1280}
 
     probe, err = _run_stage("probe", PROBE_TIMEOUT_S)
+    if not probe:
+        # one retry: the first backend init after the chip was released by
+        # another process has been observed to take >50 s once and 12 s on
+        # the immediate retry; a dead tunnel fails both (~100 s total,
+        # still far under any driver timeout)
+        errors.append(err)
+        probe, err = _run_stage("probe", PROBE_TIMEOUT_S)
     if probe:
         extra["backend"] = probe.get("device", "?")
     else:
