@@ -68,8 +68,14 @@ _EDGE = ((0, 1, 2), (1, 2, 0), (2, 0, 1))  # (v0, v1, v2) per edge k
 def _out_cols(K: int) -> int:
     return max(8, -(-(K + 3) // 8) * 8)
 
-_DEFAULT_PT = 256   # pixels per tile (sublanes; 1 image row at 256px)
-_DEFAULT_C = 128    # faces per chunk (lanes)
+# Tile geometry, overridable for hardware sweeps (exp/raster_tile_sweep.py):
+# PT = pixels per kernel tile (sublanes; must divide S*S), C = faces per
+# streamed chunk (lanes; multiple of 128).  Larger PT amortizes the chunk
+# loop across more pixels but coarsens the per-tile y-band culling.
+import os as _os
+
+_DEFAULT_PT = int(_os.environ.get("LASR_RASTER_PT", 256))
+_DEFAULT_C = int(_os.environ.get("LASR_RASTER_C", 128))
 
 
 def _sign_clamp(x, eps):
