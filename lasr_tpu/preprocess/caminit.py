@@ -107,6 +107,70 @@ def chain_rotations(masks: np.ndarray, flows_fw: np.ndarray,
     return np.stack(Rs)
 
 
+def _compose_flow(f01: np.ndarray, f12: np.ndarray) -> np.ndarray:
+    """Flow 0->2 from adjacent flows: f02(p) = f01(p) + f12(p + f01(p))."""
+    import cv2
+
+    h, w = f01.shape[:2]
+    xx, yy = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    f12_at = cv2.remap(f12, xx + f01[..., 0], yy + f01[..., 1],
+                       cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
+    return f01 + f12_at
+
+
+def _project_so3(M: np.ndarray) -> np.ndarray:
+    U, _, Vt = np.linalg.svd(M)
+    d = np.sign(np.linalg.det(U @ Vt))
+    return U @ np.diag([1.0, 1.0, d]) @ Vt
+
+
+def chain_rotations_averaged(masks: np.ndarray, flows_fw: np.ndarray,
+                             max_points: int = 4000,
+                             skips=(1, 2, 3), sweeps: int = 20) -> np.ndarray:
+    """Rotation-averaged chain over redundant skip-pair estimates.
+
+    MEASURED NEGATIVE RESULT (results/caminit_avg_ab.json): on pika the
+    averaged chain scores 9.7 deg mean adjacent error for every skip set —
+    identical to the adjacent-only chain.  The per-pair error is the
+    spherical-proxy geometry mismatch, which is a function of each frame's
+    POSE: skip estimates sharing a frame inherit the same mismatch, so the
+    observations are correlated and averaging cannot cancel them (the same
+    reason exact ORB correspondences measured no better in round 3 —
+    exp/diag_pika_orb.py).  Kept as the documented form of the attempt;
+    --cam_init flow_chain stays on chain_rotations.  A better chain needs
+    a better shape model than a sphere — which is precisely what the
+    optimization's later stages provide.
+    """
+    n = masks.shape[0]
+    obs = {}                       # (i, j) -> R with x_j ~ R x_i
+    for s in skips:
+        for i in range(n - s):
+            f = flows_fw[i]
+            for k in range(1, s):
+                f = _compose_flow(f, flows_fw[i + k])
+            obs[(i, i + s)] = pair_rotation(
+                masks[i] > 0, masks[i + s] > 0, f, max_points=max_points)
+
+    # init: adjacent chain
+    Rs = [np.eye(3)]
+    for i in range(n - 1):
+        Rs.append(obs[(i, i + 1)] @ Rs[-1])
+
+    # iterative single-rotation averaging, frame 0 gauge-fixed to I
+    for _ in range(sweeps):
+        for i in range(1, n):
+            acc = np.zeros((3, 3))
+            for (a, b), R in obs.items():
+                if b == i:
+                    acc += R @ Rs[a]           # propagate a -> i
+                elif a == i:
+                    acc += R.T @ Rs[b]         # propagate b -> i
+            if np.linalg.norm(acc) > 1e-9:
+                Rs[i] = _project_so3(acc)
+    return np.stack(Rs)
+
+
 def chain_for_sequence(davis_root: str, seq: str,
                        max_points: int = 4000) -> np.ndarray:
     """Load masks + forward flow for a DAVIS-layout sequence and chain.
