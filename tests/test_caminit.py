@@ -158,3 +158,47 @@ def test_checkpoint_carries_chain(tmp_path):
     ckpt.save_checkpoint(path, model.init_params, model, np.zeros(1))
     _, meta = ckpt.load_raw(path)
     np.testing.assert_allclose(meta["__cam_chain"], chain, atol=1e-6)
+
+
+def test_compose_flow_translations_add():
+    """Composing two constant translation flows sums the displacements."""
+    h = w = 32
+    f01 = np.zeros((h, w, 2), np.float32)
+    f01[..., 0] = 3.0
+    f12 = np.zeros((h, w, 2), np.float32)
+    f12[..., 1] = -2.0
+    f02 = caminit._compose_flow(f01, f12)
+    np.testing.assert_allclose(f02[..., 0], 3.0, atol=1e-5)
+    np.testing.assert_allclose(f02[..., 1], -2.0, atol=1e-5)
+
+
+def test_chain_rotations_averaged_valid_and_consistent():
+    """On consistent-lift synthetic frames the averaged chain returns valid
+    rotations matching the adjacent-only chain (whose estimates are exact
+    there, so averaging must not degrade them)."""
+    size, radius = 128, 40.0
+    lr = np.sqrt(2.0) * radius / 2.0       # estimator's std-based radius
+    steps = [_rot((0, 1, 0), 10.0), _rot((1, 0, 0), 8.0),
+             _rot((0, 1, 0), 12.0)]
+    masks, flows = [], []
+    R = np.eye(3)
+    for Rrel in steps + [None]:
+        mask, flow = _sphere_frame(np.eye(3), size, radius, lift_radius=lr)
+        masks.append(mask)
+        if Rrel is None:
+            break
+        # flow of THIS frame's pixels under the next relative rotation
+        _, f = _sphere_frame(Rrel, size, radius, lift_radius=lr)
+        flows.append(f)
+        R = Rrel @ R
+    masks = np.stack(masks).astype(np.float32)
+    flows = np.stack(flows)
+
+    chain = caminit.chain_rotations(masks, flows)
+    avg = caminit.chain_rotations_averaged(masks, flows, skips=(1, 2),
+                                           sweeps=5)
+    for Ra in avg:
+        np.testing.assert_allclose(Ra @ Ra.T, np.eye(3), atol=1e-6)
+        assert np.linalg.det(Ra) > 0.99
+    for Rc, Ra in zip(chain, avg):
+        assert _geo_deg(Rc, Ra) < 8.0      # no degradation vs the chain
