@@ -317,9 +317,18 @@ class VideoDataset:
         Crops are a function of the frame alone (verified bit-identical
         across pairs), so images/masks/DTs/cams are stored once per frame
         and gathered by frame id on device; normalization also moves on
-        device.  93 MB -> 67 MB of that is flow+occ, which are genuinely
-        per-pair.  Matters on a bandwidth-limited (tunneled) host->device
-        link where the initial upload gates the first optimization step."""
+        device.  Matters on a bandwidth-limited (tunneled) host->device
+        link where the initial upload gates the first optimization step.
+
+        Dtypes are compact on the wire: images uint8, masks bool, flow /
+        occ / DT-barrier float16 (flow is NDC-scale ~[-2, 2] and estimated
+        to ~6-12 px at best, DT is mask-normalized [0, 1.4], occ is clipped
+        [-10, 100] — f16's ~1e-3 relative step is far below every signal's
+        noise floor).  `gather_batch` restores float32 in-program, so the
+        training computation is unchanged up to the one-time quantization.
+        occ's exact-zero "outside the crop" sentinel is preserved under the
+        cast (nonzero values that would flush to 0 are snapped to the
+        smallest f16 subnormal)."""
         a = self.arrays
         frameid = np.stack([self.meta["id0"], self.meta["id1"]],
                            1).astype(np.int32)          # [NP, 2]
@@ -333,16 +342,20 @@ class VideoDataset:
         ps = np.asarray([p for p, _ in sel])
         ss = np.asarray([s for _, s in sel])
         shape = self.meta["shape"].astype(np.float32)
+        occ16 = a["occ"].astype(np.float16)
+        tiny = np.float16(6e-8)                         # smallest subnormal
+        occ16 = np.where((a["occ"] != 0) & (occ16 == 0), tiny, occ16)
         return {
             "frameid": frameid,
-            "f_imgs": a["img"][ps, ss],                 # [NF, 3, S, S]
-            "f_masks": a["mask"][ps, ss],               # [NF, S, S]
+            "f_imgs": np.clip(np.rint(a["img"][ps, ss] * 255), 0,
+                              255).astype(np.uint8),    # [NF, 3, S, S]
+            "f_masks": a["mask"][ps, ss] > 0,           # [NF, S, S] bool
             "f_cams": a["cam"][ps, ss],
             "f_depth": a["depth"][ps, ss],
-            "f_ddts": a["ddts"][ps, ss],
+            "f_ddts": a["ddts"][ps, ss].astype(np.float16),
             "f_pp": a["pp"][ps, ss],
-            "flow": a["flow"],
-            "occ": a["occ"],
+            "flow": a["flow"].astype(np.float16),
+            "occ": occ16,
             "oriimg_shape": shape,
         }
 
@@ -366,22 +379,30 @@ def gather_batch(dev_arrays: dict, pair_ids) -> dict:
 
     fid = jnp.asarray(dev_arrays["frameid"])[pair_ids]  # [b, 2]
     fids = jnp.concatenate([fid[:, 0], fid[:, 1]], 0)   # [2b]
-    img = jnp.asarray(dev_arrays["f_imgs"])[fids]       # [2b, 3, S, S]
+
+    def f32(x):                 # restore compute dtype after a compact gather
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) / 255.0
+        if x.dtype != jnp.float32:
+            return x.astype(jnp.float32)
+        return x
+
+    img = f32(jnp.asarray(dev_arrays["f_imgs"])[fids])  # [2b, 3, S, S]
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32).reshape(3, 1, 1)
     std = jnp.asarray(IMAGENET_STD, jnp.float32).reshape(3, 1, 1)
     out = {
         "frameid": fids,
         "imgs": img,
         "input_imgs": (img - mean) / std,
-        "masks": jnp.asarray(dev_arrays["f_masks"])[fids],
+        "masks": f32(jnp.asarray(dev_arrays["f_masks"])[fids]),
         "cams": jnp.asarray(dev_arrays["f_cams"])[fids],
         "depth_gt": jnp.asarray(dev_arrays["f_depth"])[fids],
-        "ddts_barrier": jnp.asarray(dev_arrays["f_ddts"])[fids],
+        "ddts_barrier": f32(jnp.asarray(dev_arrays["f_ddts"])[fids]),
         "pp": jnp.asarray(dev_arrays["f_pp"])[fids],
     }
     for k in ("flow", "occ"):
         sel = jnp.asarray(dev_arrays[k])[pair_ids]
-        out[k] = jnp.concatenate([sel[:, 0], sel[:, 1]], 0)
+        out[k] = f32(jnp.concatenate([sel[:, 0], sel[:, 1]], 0))
     sel = jnp.asarray(dev_arrays["oriimg_shape"])[pair_ids]
     out["oriimg_shape"] = jnp.concatenate([sel, sel], 0)
     return out

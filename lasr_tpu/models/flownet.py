@@ -18,6 +18,8 @@ function of (params, im0, im1).
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -223,7 +225,11 @@ def save_params(path: str, params):
     from flax import traverse_util
     flat = {"/".join(k): np.asarray(v) for k, v in
             traverse_util.flatten_dict(params).items()}
-    np.savez(path, **flat)
+    # atomic: a crash mid-write must not corrupt the previous good copy
+    # (np.savez appends .npz when missing, so keep the suffix on the temp)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
 
 
 def make_backend(weights_path: str, infer_size: int = 256):
@@ -246,23 +252,38 @@ def make_backend(weights_path: str, infer_size: int = 256):
         b = jnp.asarray(b[None], jnp.float32)
         fw = np.asarray(_run(a, b))[0]
         bw = np.asarray(_run(b, a))[0]
-        # forward-backward consistency -> occlusion score in {-1, +1}
-        yy, xx = np.mgrid[:infer_size, :infer_size]
-        x1 = np.clip(xx + fw[..., 0], 0, infer_size - 1)
-        y1 = np.clip(yy + fw[..., 1], 0, infer_size - 1)
-        bw_at = bw[y1.astype(int), x1.astype(int)]
-        incons = np.linalg.norm(fw[..., :2] + bw_at[..., :2], axis=-1)
-        thresh = 0.05 * (np.linalg.norm(fw[..., :2], axis=-1)
-                         + np.linalg.norm(bw_at[..., :2], axis=-1)) + 3.0
-        # Sign convention (must match the DIS backend and the VCN scores the
+        # forward-backward consistency -> GRADED occlusion score.  Sign
+        # convention (must match the DIS backend and the VCN scores the
         # reference ships, ref:dataloader/vidbase.py:151): the flow loss
         # weights pixels by sigmoid(-occ) (lasr.py, ref:mesh_net.py:403-406),
         # so CONSISTENT pixels need a large NEGATIVE score (weight ~1) and
-        # occluded ones a large positive score (weight ~0).
-        occ = np.where(incons < thresh, -10.0, 10.0).astype(np.float32)
+        # occluded ones a large positive score (weight ~0).  The round-4
+        # binary ±10 score threw away the error magnitude — a 3.1 px and a
+        # 40 px inconsistency got the same weight; the graded clip(err-1)
+        # matches preprocess/auto_gen.py:57 so both backends' scores are
+        # interchangeable downstream.  err is measured in FULL-RES pixels
+        # (per-axis scale applied before the norm) like the DIS backend's.
+        yy, xx = np.mgrid[:infer_size, :infer_size]
         scale = np.array([W / infer_size, H / infer_size], np.float32)
+        bx = cv2.remap(bw[..., 0],
+                       np.clip(xx + fw[..., 0], 0, infer_size - 1)
+                       .astype(np.float32),
+                       np.clip(yy + fw[..., 1], 0, infer_size - 1)
+                       .astype(np.float32), cv2.INTER_LINEAR)
+        by = cv2.remap(bw[..., 1],
+                       np.clip(xx + fw[..., 0], 0, infer_size - 1)
+                       .astype(np.float32),
+                       np.clip(yy + fw[..., 1], 0, infer_size - 1)
+                       .astype(np.float32), cv2.INTER_LINEAR)
+        err = np.sqrt(((fw[..., 0] + bx) * scale[0]) ** 2
+                      + ((fw[..., 1] + by) * scale[1]) ** 2)
+        occ = np.clip(err - 1.0, -10.0, 100.0).astype(np.float32)
         flow = np.concatenate([fw * scale, occ[..., None]], -1)
         flow = cv2.resize(flow, (W, H), interpolation=cv2.INTER_LINEAR)
         occ_full = flow[..., 2].copy()
+        # channel 2 of the written flow is the validity INDICATOR consumed
+        # by the dataloader (`flow[..., 2] != 0`, data/video.py) — the DIS
+        # backend writes all-ones there; the graded score lives in occ only
+        flow[..., 2] = 1.0
         return flow.astype(np.float32), occ_full
     return backend

@@ -274,6 +274,7 @@ class Trainer:
         # per-frame normalized images, straight from the compact host layout
         from ..data.video import IMAGENET_MEAN, IMAGENET_STD
         f_imgs = self.dataset.device_arrays_compact()["f_imgs"]
+        f_imgs = f_imgs.astype(np.float32) / 255.0      # uint8 on the wire
         mean = np.asarray(IMAGENET_MEAN, np.float32).reshape(3, 1, 1)
         std = np.asarray(IMAGENET_STD, np.float32).reshape(3, 1, 1)
         frames = (f_imgs - mean) / std

@@ -95,7 +95,16 @@ def _supervise(args) -> int:
 
     tries = 0
     while True:
-        stages = args.stage if not tries else _resume_stages(args.stage)
+        # resume-aware on the FIRST attempt too: a previous invocation that
+        # crashed after exhausting retries leaves checkpoints behind, and
+        # re-running completed stages from epoch 0 would discard them
+        # (_resume_stages is a no-op when no checkpoints exist)
+        stages = _resume_stages(args.stage)
+        if stages != args.stage:
+            print(f"pipeline supervisor: resuming from existing checkpoints "
+                  f"({len(args.stage) - len(stages)} stage(s) already "
+                  "complete; delete the checkpoint dir or use a fresh "
+                  "--name to retrain from scratch)", flush=True)
         if not stages:
             return 0
         cmd = [sys.executable, os.path.abspath(__file__)]

@@ -145,12 +145,17 @@ def main():
     # A re-run with a different backend/threshold can keep FEWER frames
     # than a previous filtering; stale leftovers past the new count make
     # the dataset inconsistent (a 26th frame with no flo-00024.pfm crashed
-    # the camera chain).  Clear regenerated dirs up front.
+    # the camera chain).  Clear regenerated dirs up front — but never an
+    # output dir that aliases an INPUT dir (with --out <seq> and an external
+    # --datapath, dirs['Annotations'] can equal the default silpath; clearing
+    # it would delete the masks before the loop reads them).
+    input_dirs = {os.path.abspath(datapath), os.path.abspath(silpath)}
     for key, d in dirs.items():
-        if key in ("JPEGImages", "Annotations") and not write_frames:
+        if os.path.abspath(d) in input_dirs:
             continue
         for f in glob.glob(os.path.join(d, "*")):
-            os.remove(f)
+            if os.path.isfile(f):
+                os.remove(f)
 
     inx, jnx, ix = 0, 1, 0
     while jnx < len(imgs):

@@ -82,9 +82,12 @@ def test_full_res_flow_nonsquare_per_axis_scaling():
 
 def test_backend_occ_sign_convention(tmp_path, monkeypatch):
     """The flow loss weights pixels by sigmoid(-occ) (lasr.py, matching
-    ref:mesh_net.py:403-406): CONSISTENT pixels must carry a large NEGATIVE
-    occ score (weight ~1).  Round-3 advisor found the flownet backend
-    emitting the inverted (and muted) convention."""
+    ref:mesh_net.py:403-406): CONSISTENT pixels must carry a NEGATIVE occ
+    score.  Round-3 advisor found the flownet backend emitting the inverted
+    convention; round 4's fix was binary (±10), which threw away the error
+    magnitude — the score is now GRADED, clip(err_px - 1, -10, 100),
+    matching the DIS backend (preprocess/auto_gen.py:57) so the two
+    backends' scores are interchangeable downstream."""
     net = flownet.FlowNet()            # default radius: must match make_backend
     im = jnp.zeros((1, 32, 32, 3))
     params = net.init(jax.random.PRNGKey(0), im, im)
@@ -97,7 +100,16 @@ def test_backend_occ_sign_convention(tmp_path, monkeypatch):
     # so forward-backward consistency holds everywhere
     flow, occ = backend(img, img)
     assert flow.shape == (32, 32, 3)
+    # DIS-matching graded score: err ~ 0 px -> occ ~ -1 -> weight ~ 0.73,
+    # same as a perfectly consistent DIS pixel
+    assert np.median(occ) < -0.5, (
+        f"consistent pixels must score ~clip(0 - 1) = -1, got median "
+        f"{np.median(occ):.2f}")
+    assert occ.min() >= -10.0 and occ.max() <= 100.0  # DIS clip range
     w = 1.0 / (1.0 + np.exp(occ))            # sigmoid(-occ)
-    assert np.median(w) > 0.99, (
-        f"consistent pixels must get ~full flow-loss weight, got median "
-        f"{np.median(w):.3f} (occ median {np.median(occ):.2f})")
+    assert np.median(w) > 0.6, (
+        f"consistent pixels must get the DIS-consistent flow-loss weight, "
+        f"got median {np.median(w):.3f}")
+    # channel 2 of the written flow is the validity indicator (all-ones,
+    # like DIS) — the graded score must live in occ only
+    np.testing.assert_array_equal(flow[..., 2], 1.0)

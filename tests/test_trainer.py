@@ -152,8 +152,10 @@ def test_trainer_hypo_sharded_epoch(tmp_path):
 
 
 def test_gather_batch_compact_matches_legacy(tmp_path):
-    """device_arrays_compact + gather must reproduce the legacy batch
-    bit-exactly (images/masks/DTs are per-frame; dedup is lossless)."""
+    """device_arrays_compact + gather must reproduce the legacy batch up to
+    the wire quantization (dedup itself is lossless; images ride as uint8,
+    flow/occ/DTs as f16, and gather_batch restores float32 in-program).
+    Per-key bounds are the quantization steps, NOT loose tolerances."""
     os.chdir(REPO)
     cfg = small_cfg(tmp_path)
     ds = VideoDataset(cfg, "configs")
@@ -164,9 +166,24 @@ def test_gather_batch_compact_matches_legacy(tmp_path):
     a = gather_batch(legacy, ids)
     b = gather_batch(compact, ids)
     assert set(a) == set(b)
-    for k in a:
+    exact = ("frameid", "masks", "cams", "depth_gt", "pp", "oriimg_shape")
+    for k in exact:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
                                       err_msg=k)
+    for k, tol in [("imgs", 0.51 / 255),           # uint8 rounding
+                   ("input_imgs", 0.51 / 255 / 0.22),  # / min ImageNet std
+                   ("ddts_barrier", 1e-3),         # f16 on [0, 1.4]
+                   ("flow", 2e-3),                 # f16 on NDC ~[-2, 2]
+                   ("occ", 0.05)]:                 # f16 on [-10, 100]
+        av, bv = np.asarray(a[k]), np.asarray(b[k])
+        assert np.abs(av - bv).max() <= tol, (
+            f"{k}: {np.abs(av - bv).max()} > {tol}")
+    # zero-sentinel semantics survive the f16 cast (occ==0 = outside crop,
+    # flow[2]==0 = invalid)
+    np.testing.assert_array_equal(np.asarray(a["occ"]) == 0,
+                                  np.asarray(b["occ"]) == 0)
+    np.testing.assert_array_equal(np.asarray(a["flow"])[:, 2] == 0,
+                                  np.asarray(b["flow"])[:, 2] == 0)
 
 
 @pytest.mark.slow
