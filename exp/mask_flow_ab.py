@@ -60,14 +60,22 @@ def main():
 
     imgs = [cv2.imread(p) for p in frames]
     out = {"seq": seq, "n_frames": len(imgs)}
-    for flow in ("dis", "flownet"):
-        masks = maskmod.propagate_masks(imgs, flow=flow)
+    methods = {
+        "dis": lambda: maskmod.propagate_masks(imgs, flow="dis"),
+        "flownet": lambda: maskmod.propagate_masks(imgs, flow="flownet"),
+        "dis_bidir":
+            lambda: maskmod.propagate_masks_bidir(imgs, flow="dis"),
+        "flownet_bidir":
+            lambda: maskmod.propagate_masks_bidir(imgs, flow="flownet"),
+    }
+    for name, fn in methods.items():
+        masks = fn()
         ious = iou_series(masks, gt_dir)
-        out[flow] = {"mean_iou": float(np.mean(ious)),
+        out[name] = {"mean_iou": float(np.mean(ious)),
                      "min_iou": float(np.min(ious)),
                      "per_frame": [round(v, 3) for v in ious]}
-        print(f"{flow}: mean IoU {out[flow]['mean_iou']:.3f} "
-              f"(min {out[flow]['min_iou']:.3f})", flush=True)
+        print(f"{name}: mean IoU {out[name]['mean_iou']:.3f} "
+              f"(min {out[name]['min_iou']:.3f})", flush=True)
     os.makedirs("results", exist_ok=True)
     json.dump(out, open(f"results/mask_flow_ab_{seq}.json", "w"), indent=1)
 

@@ -66,30 +66,26 @@ def capture(logdir: str, steps: int = 50) -> dict:
 
 
 # ------------------------------------------------------------------- parse
-COMPONENT_PATTERNS = [
-    # pallas rasterizer custom-calls keep their kernel symbol in the op name
-    ("rasterizer", ("softras", "raster", "tpu_custom_call")),
-    ("conv_encoder", ("convolution", "conv_general")),
-    ("matmul", ("dot",)),
-    ("scatter_gather", ("scatter", "gather", "dynamic-slice",
-                        "dynamic_slice", "dynamic-update-slice")),
-    ("sort_topk", ("sort", "top-k", "topk")),
-    ("data_movement", ("copy", "transpose", "bitcast", "reshape", "pad",
-                       "concatenate", "slice", "reverse", "broadcast")),
-    ("reduce", ("reduce", "all-reduce")),
-    ("elementwise_fusion", ("fusion", "loop_", "input_", "output_",
-                            "multiply", "add", "subtract", "divide", "exp",
-                            "log", "select", "compare", "convert", "rsqrt",
-                            "tanh", "maximum", "minimum", "power", "iota")),
-]
-
-
-def classify(name: str) -> str:
+def classify(name: str, category: str, source: str) -> str:
+    if "softras_pallas" in source or "tpu_custom_call" in name:
+        return ("rasterizer_bwd" if "transpose" in name.lower()
+                else "rasterizer_fwd")
     low = name.lower()
-    for comp, pats in COMPONENT_PATTERNS:
-        if any(p in low for p in pats):
-            return comp
-    return "other"
+    if category in ("convolution",) or "conv" in low:
+        return "conv_encoder"
+    if category == "custom-call":
+        return "custom_call_other"
+    if category in ("copy", "transpose", "reshape", "all-to-all"):
+        return "data_movement"
+    if "gather" in category or "scatter" in category or \
+            "dynamic" in category:
+        return "scatter_gather"
+    if "sort" in category or "sort" in low:
+        return "sort_topk"
+    if category in ("fusion", "loop fusion", "input fusion",
+                    "output fusion", "elementwise"):
+        return "fusion"
+    return category or "other"
 
 
 def parse(logdir: str) -> dict:
@@ -103,45 +99,77 @@ def parse(logdir: str) -> dict:
     with open(paths[-1], "rb") as f:
         space.ParseFromString(f.read())
 
-    planes = {p.name: p for p in space.planes}
     dev = None
-    for name, p in planes.items():
-        if "TPU" in name and "XLA" not in name:
+    for p in space.planes:
+        if p.name.startswith("/device:TPU") or \
+                (p.name.startswith("/device:") and dev is None):
             dev = p
-            break
-    if dev is None:  # CPU fallback: XLA modules run on the host plane
-        for name, p in planes.items():
-            if name.startswith("/device:") or "Host Threads" in name:
-                dev = p
+            if "TPU" in p.name:
                 break
     if dev is None:
-        raise SystemExit(f"no device plane; planes = {list(planes)}")
+        raise SystemExit(f"no device plane; planes = "
+                         f"{[p.name for p in space.planes]}")
 
-    ev_meta = {m.id: m.name for m in dev.event_metadata.values()}
-    # self-time per op-name: XLA op lines nest (module -> op); use only the
-    # deepest line named "XLA Ops" when present, else all lines
-    op_lines = [ln for ln in dev.lines if "XLA Ops" in ln.name] or dev.lines
-    agg: dict[str, float] = {}
-    for ln in op_lines:
-        for ev in ln.events:
-            name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
-            agg[name] = agg.get(name, 0.0) + ev.duration_ps / 1e9  # -> ms
-    total_ms = sum(agg.values())
+    smeta = {m.id: m.name for m in dev.stat_metadata.values()}
+    info = {}                  # metadata id -> (name, category, source)
+    for m in dev.event_metadata.values():
+        cat = src = ""
+        for st in m.stats:
+            nm = smeta.get(st.metadata_id)
+            if nm == "hlo_category":
+                cat = st.str_value or st.bytes_value.decode()
+            elif nm == "source":
+                src = st.str_value or st.bytes_value.decode()
+        info[m.id] = (m.name, cat, src)
+
+    # SELF time per op via a nesting stack: "XLA Ops" events nest
+    # (fusion parents contain child op events); naive duration sums
+    # double-count ~2x.  Events on one line either nest or are disjoint.
+    op_line = next(ln for ln in dev.lines if ln.name == "XLA Ops")
+    evs = sorted((ev.offset_ps, ev.duration_ps, ev.metadata_id)
+                 for ev in op_line.events)
+    self_ms: dict[int, float] = {}
+    stack: list[tuple[int, int]] = []   # (end_ps, metadata_id)
+    for off, dur, mid in evs:
+        while stack and off >= stack[-1][0]:
+            stack.pop()
+        if stack:
+            pmid = stack[-1][1]
+            self_ms[pmid] = self_ms.get(pmid, 0.0) - dur / 1e9
+        self_ms[mid] = self_ms.get(mid, 0.0) + dur / 1e9
+        stack.append((off + dur, mid))
+    total_ms = sum(self_ms.values())
+
+    # module wall (the scan's actual device occupancy) + async DMA context
+    mod_line = next((ln for ln in dev.lines if ln.name == "XLA Modules"),
+                    None)
+    module_ms = (sum(ev.duration_ps for ev in mod_line.events) / 1e9
+                 if mod_line else None)
+    dma_line = next((ln for ln in dev.lines if ln.name == "Async XLA Ops"),
+                    None)
+    dma_ms = (sum(ev.duration_ps for ev in dma_line.events) / 1e9
+              if dma_line else None)
 
     comps: dict[str, float] = {}
-    for name, ms in agg.items():
-        comps[classify(name)] = comps.get(classify(name), 0.0) + ms
-    top = sorted(agg.items(), key=lambda kv: -kv[1])[:40]
+    named: dict[str, float] = {}
+    for mid, ms in self_ms.items():
+        name, cat, src = info.get(mid, (str(mid), "", ""))
+        comps[classify(name, cat, src)] = \
+            comps.get(classify(name, cat, src), 0.0) + ms
+        named[name] = named.get(name, 0.0) + ms
+    top = sorted(named.items(), key=lambda kv: -kv[1])[:40]
     return {
         "plane": dev.name,
-        "device_total_ms": round(total_ms, 3),
+        "device_total_self_ms": round(total_ms, 3),
+        "module_wall_ms": round(module_ms, 3) if module_ms else None,
+        "async_dma_ms_overlapped": round(dma_ms, 3) if dma_ms else None,
         "components_ms": {k: round(v, 3)
                           for k, v in sorted(comps.items(),
                                              key=lambda kv: -kv[1])},
         "components_pct": {k: round(100 * v / max(total_ms, 1e-9), 2)
                            for k, v in sorted(comps.items(),
                                               key=lambda kv: -kv[1])},
-        "top_ops_ms": [[n, round(v, 3)] for n, v in top],
+        "top_ops_ms": [[n[:120], round(v, 3)] for n, v in top],
     }
 
 
@@ -160,7 +188,7 @@ def main():
     out.update(parse(args.logdir))
     if not args.parse_only and out.get("steps"):
         out["device_ms_per_step"] = round(
-            out["device_total_ms"] / args.steps, 3)
+            out["device_total_self_ms"] / args.steps, 3)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

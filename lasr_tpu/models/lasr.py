@@ -364,6 +364,9 @@ class LasrModel:
         oth = jnp.concatenate([pos1, pos0], 0)
         tex_b = jnp.broadcast_to(tex_rgb[None], (n2, H, V, 3)).reshape(-1, V, 3)
         mtex = jnp.concatenate([own, oth, tex_b], -1)         # [2bH, V, 9]
+        # (measured: consuming the kernel's channel-last layout here ADDS a
+        # third [2bH, S, S, 10] layout copy — XLA already places the two
+        # channel-first copies optimally for the mixed consumers, r5 profile)
         mimg = self._raster(raster_geom, faces, mtex, self.merged_raster,
                             near, far)                        # [2bH, 10, S, S]
         src = mimg[:, 0:3].transpose(0, 2, 3, 1)              # [2bH, S, S, 3]
@@ -560,7 +563,8 @@ class LasrModel:
         return total, aux
 
     # ------------------------------------------------------------------
-    def _raster(self, verts, faces, textures, rcfg, near, far):
+    def _raster(self, verts, faces, textures, rcfg, near, far,
+                channel_last=False):
         """Gather + rasterize [N, V, 3] meshes sharing one face table."""
         N = verts.shape[0]
         fv = verts[:, faces]                  # [N, F, 3, 3]
@@ -575,7 +579,8 @@ class LasrModel:
         return soft_rasterize(fv, ft, rcfg,
                               jnp.broadcast_to(near, (N,)),
                               jnp.broadcast_to(far, (N,)),
-                              force_ref=force_ref, interpret=interp)
+                              force_ref=force_ref, interpret=interp,
+                              channel_last=channel_last)
 
     # ------------------------------------------------------------------
     def eval_codes(self, params, input_imgs):

@@ -28,13 +28,18 @@ def _on_tpu() -> bool:
 
 
 def soft_rasterize(face_vertices, textures, cfg: RasterizeConfig, near, far,
-                   force_ref: bool = False, interpret: bool | None = None):
+                   force_ref: bool = False, interpret: bool | None = None,
+                   channel_last: bool = False):
+    """channel_last=True returns [B, H, W, K+1] (the Pallas kernel's native
+    pixel-major layout, saving a transpose copy pair per autodiff direction;
+    the jnp-reference fallback transposes to match)."""
     if force_ref or not _supported(cfg):
-        return soft_rasterize_ref(face_vertices, textures, cfg, near, far)
+        out = soft_rasterize_ref(face_vertices, textures, cfg, near, far)
+        return out.transpose(0, 2, 3, 1) if channel_last else out
     if interpret is None:
         interpret = not _on_tpu()
     return soft_rasterize_pallas(face_vertices, textures, near, far, cfg,
-                                 interpret)
+                                 interpret, channel_last)
 
 
 def render_mesh(verts, faces, textures, cfg: RasterizeConfig, near, far,
@@ -51,7 +56,35 @@ def render_mesh(verts, faces, textures, cfg: RasterizeConfig, near, far,
     return soft_rasterize(fv, ft, cfg, near, far, **kw)
 
 
+@jax.custom_vjp
 def _gather(attr, faces):
-    """attr [B, N, C], faces [B, F, 3] -> [B, F, 3, C]."""
-    B, F, _ = faces.shape
+    """attr [B, N, C], faces [B, F, 3] -> [B, F, 3, C].
+
+    Custom VJP: the transpose of this gather is a scatter-add of per-face-
+    vertex gradients onto the vertex array, which XLA lowers to a serialized
+    custom-fusion gather measured at 9.3 ms/step — 16% of the whole training
+    step (results/profile_r5.json, %fusion.1878).  The backward here instead
+    contracts against an iota-compare one-hot on the MXU
+    (dattr[b,n,c] = sum_f [faces[b,f]==n] * g[b,f,c]), which is a dense
+    [F*3, N] x [F*3, C] matmul — the TPU-native form of segment-sum."""
     return jax.vmap(lambda a, f: a[f])(attr, faces)
+
+
+def _gather_fwd(attr, faces):
+    return _gather(attr, faces), (faces, attr.shape[1])
+
+
+def _gather_bwd(res, g):
+    faces, n_verts = res
+    B = faces.shape[0]
+    idx = faces.reshape(B, -1)                       # [B, F*3]
+    g2 = g.reshape(B, idx.shape[1], -1)              # [B, F*3, C]
+    onehot = (idx[..., None] ==
+              jnp.arange(n_verts)[None, None]).astype(g2.dtype)
+    dattr = jnp.einsum("bfn,bfc->bnc", onehot, g2,
+                       precision=jax.lax.Precision.HIGHEST)
+    import numpy as np
+    return dattr, np.zeros(faces.shape, jax.dtypes.float0)
+
+
+_gather.defvjp(_gather_fwd, _gather_bwd)

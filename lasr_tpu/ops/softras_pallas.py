@@ -248,17 +248,25 @@ def _pair_geometry(fd, xp, yp, sigma, threshold):
     dis = dis_x * dis_x + dis_y * dis_y
     sign = jnp.where(inside, 1.0, -1.0)
     logits = sign * dis / sigma
-    soft = jax.nn.sigmoid(logits)
     valid = inside | (dis < threshold)
+    # sigmoid and softplus share one exp(-|l|): sigmoid(l) = 1/(1+e) for
+    # l >= 0 else e/(1+e); softplus(l) = max(l, 0) + log1p(e).  These are
+    # exactly the numerically-stable forms jax.nn uses internally, but
+    # computing them jointly halves the transcendental count of the
+    # hottest per-(pixel, face) expression (the kernel pair is ~66% of the
+    # training step, results/profile_r5.json).
+    e = jnp.exp(-jnp.abs(logits))
+    rden = 1.0 / (1.0 + e)
+    soft = jnp.where(logits < 0, e * rden, rden)
     soft = jnp.where(valid, soft, 0.0)
     # log(1-D) = -softplus(logits); summed in log space because Mosaic has no
     # lane reduce_prod and the log-sum is better conditioned anyway.  Where
     # the f32 sigmoid saturates to exactly 1.0 the reference's product becomes
     # an exact 0 (and its backward zeroes out via the 1e-6 clamp); propagate
     # -inf so exp(logalpha) reproduces that exactly.
+    sp = jnp.maximum(logits, 0.0) + jnp.log1p(e)
     log1m = jnp.where(valid,
-                      jnp.where(soft >= 1.0, -jnp.inf,
-                                -jax.nn.softplus(logits)), 0.0)
+                      jnp.where(soft >= 1.0, -jnp.inf, -sp), 0.0)
 
     # clipped barycentrics + interpolated depth
     wc0, wc1, wc2 = (jnp.clip(c, 0.0, 1.0) for c in w)
@@ -551,15 +559,22 @@ def _bwd_pallas(facedata, bbox, fwd_raw, gout, near, far,
     )(near, far, bbox, facedata, fwd_raw, gout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def soft_rasterize_pallas(face_vertices, textures, near, far,
-                          cfg: RasterizeConfig, interpret: bool = False):
-    """[B, F, 3, 3] verts + [B, F, 3, K] vertex colors -> [B, K+1, H, W]."""
-    out, _ = _pallas_fwd(face_vertices, textures, near, far, cfg, interpret)
+                          cfg: RasterizeConfig, interpret: bool = False,
+                          channel_last: bool = False):
+    """[B, F, 3, 3] verts + [B, F, 3, K] vertex colors -> [B, K+1, H, W]
+    (or [B, H, W, K+1] with channel_last=True — the kernel's native pixel-
+    major layout; requesting it skips a [B, S, S, K+1] transpose copy pair
+    in BOTH directions of the autodiff, measured at ~1.5 ms/step each way
+    on the merged 10-channel training render, results/profile_r5.json)."""
+    out, _ = _pallas_fwd(face_vertices, textures, near, far, cfg, interpret,
+                         channel_last)
     return out
 
 
-def _pallas_fwd(face_vertices, textures, near, far, cfg, interpret):
+def _pallas_fwd(face_vertices, textures, near, far, cfg, interpret,
+                channel_last=False):
     B, F = face_vertices.shape[:2]
     K = textures.shape[-1]
     assert len(cfg.background) == K, \
@@ -571,21 +586,34 @@ def _pallas_fwd(face_vertices, textures, near, far, cfg, interpret):
         face_vertices.astype(jnp.float32), textures.astype(jnp.float32),
         margin=math.sqrt(cfg.dist_threshold))
     fwd_raw = _fwd_pallas(facedata, bbox, near, far, cfg, interpret)
-    out = fwd_raw[..., :K + 1].reshape(B, S, S, K + 1).transpose(0, 3, 1, 2)
+    out = fwd_raw[..., :K + 1].reshape(B, S, S, K + 1)
+    if not channel_last:
+        out = out.transpose(0, 3, 1, 2)
     return out, (facedata, bbox, inv_perm, fwd_raw, near, far, F)
 
 
-def _pallas_bwd(cfg, interpret, res, g):
+def _pallas_bwd(cfg, interpret, channel_last, res, g):
     facedata, bbox, inv_perm, fwd_raw, near, far, F = res
     B = facedata.shape[0]
     K = _facedata_K(facedata)
     G = 9 + 3 * K
     P = cfg.image_size ** 2
-    gout = g.transpose(0, 2, 3, 1).reshape(B, P, K + 1).astype(jnp.float32)
+    if not channel_last:
+        g = g.transpose(0, 2, 3, 1)
+    gout = g.reshape(B, P, K + 1).astype(jnp.float32)
     grads = _bwd_pallas(facedata, bbox, fwd_raw, gout, near, far, cfg,
                         interpret)
-    # unsort back to the caller's face order, dropping padding faces
-    grads = jnp.take_along_axis(grads, inv_perm[:, None, :].repeat(G, 1), -1)
+    # Unsort back to the caller's face order.  As a take_along_axis this is
+    # a lane-axis gather with per-batch indices that XLA lowers to a
+    # serialized custom fusion measured at 9.3 ms/step — 16% of the whole
+    # training step (results/profile_r5.json, %fusion.1878).  A permutation
+    # is a one-hot matmul, so contract on the MXU instead:
+    # out[b, g, j] = grads[b, g, inv_perm[b, j]].
+    Fp = grads.shape[-1]
+    onehot = (inv_perm[:, :, None] ==
+              jnp.arange(Fp)[None, None]).astype(grads.dtype)   # [B, Fp, Fp]
+    grads = jnp.einsum("bgk,bjk->bgj", grads, onehot,
+                       precision=jax.lax.Precision.HIGHEST)
     gx = grads[:, 0:3].transpose(0, 2, 1)        # [B, F, 3]
     gy = grads[:, 3:6].transpose(0, 2, 1)
     gz = grads[:, 6:9].transpose(0, 2, 1)

@@ -56,12 +56,22 @@ def _lift(p_xy: np.ndarray, center: np.ndarray, radius: float):
 
 
 def pair_rotation(mask0: np.ndarray, mask1: np.ndarray, flow01: np.ndarray,
-                  max_points: int = 4000, seed: int = 0) -> np.ndarray:
+                  max_points: int = 4000, seed: int = 0,
+                  occ01: np.ndarray | None = None,
+                  irls: int = 0) -> np.ndarray:
     """Relative camera rotation R with  x1 ~ R @ x0  on the proxy sphere.
 
     mask0/mask1: [H, W] binary silhouettes; flow01: [H, W, 2] pixel flow
     from frame 0 to frame 1 (x, y).  Returns a 3x3 rotation in camera
     coordinates (right-handed, y up, z toward the scene).
+
+    occ01: optional [H, W] graded fw/bw-consistency score in the VCN
+    convention (preprocess/auto_gen.py:57) — pixels are pre-weighted by
+    sigmoid(-occ), downweighting correspondences whose flow is unreliable
+    (occlusions, boundary smear) before they enter the fit.
+    irls: extra iteratively-reweighted rounds with a Tukey biweight on the
+    per-point residual |R x0 - x1|, rejecting correspondences the current
+    rotation cannot explain (flow outliers AND locally-bad sphere proxy).
     """
     c0, r0 = _mask_moments(mask0)
     c1, r1 = _mask_moments(mask1)
@@ -80,21 +90,49 @@ def pair_rotation(mask0: np.ndarray, mask1: np.ndarray, flow01: np.ndarray,
     # depth; Procrustes here is rotation-only)
     x0, x1 = x0 / r0, x1 / r1
     w = w0 * w1
+    if occ01 is not None:
+        w = w / (1.0 + np.exp(occ01[ys, xs].astype(np.float64)))
     if w.sum() < 1e-6:
         return np.eye(3)
-    # weighted orthogonal Procrustes: R = argmin sum w |R x0 - x1|^2
-    H = (x0 * w[:, None]).T @ x1
-    U, _, Vt = np.linalg.svd(H)
-    d = np.sign(np.linalg.det(Vt.T @ U.T))
-    R = Vt.T @ np.diag([1.0, 1.0, d]) @ U.T
+
+    def solve(w):
+        # weighted orthogonal Procrustes: R = argmin sum w |R x0 - x1|^2
+        H = (x0 * w[:, None]).T @ x1
+        U, _, Vt = np.linalg.svd(H)
+        d = np.sign(np.linalg.det(Vt.T @ U.T))
+        return Vt.T @ np.diag([1.0, 1.0, d]) @ U.T
+
+    R = solve(w)
+    for _ in range(irls):
+        res = np.linalg.norm(x0 @ R.T - x1, axis=-1)
+        # Tukey biweight, scale = 1.4826 * weighted MAD (robust sigma)
+        med = _weighted_median(res, w)
+        sigma = 1.4826 * max(_weighted_median(np.abs(res - med), w), 1e-9)
+        c = 4.685 * sigma
+        t = np.clip(res / c, 0.0, 1.0)
+        wr = (1.0 - t ** 2) ** 2
+        if (w * wr).sum() < 1e-6:
+            break
+        R = solve(w * wr)
     return R
 
 
+def _weighted_median(v: np.ndarray, w: np.ndarray) -> float:
+    o = np.argsort(v)
+    cw = np.cumsum(w[o])
+    if cw[-1] <= 0:
+        return float(np.median(v))
+    return float(v[o][np.searchsorted(cw, 0.5 * cw[-1])])
+
+
 def chain_rotations(masks: np.ndarray, flows_fw: np.ndarray,
-                    max_points: int = 4000) -> np.ndarray:
+                    max_points: int = 4000,
+                    occs_fw: np.ndarray | None = None,
+                    irls: int = 0) -> np.ndarray:
     """Per-frame camera rotations R_i (v_cam_i = R_i v_obj) with R_0 = I.
 
-    masks: [N, H, W]; flows_fw: [N-1, H, W, 2] pixel flow i -> i+1.
+    masks: [N, H, W]; flows_fw: [N-1, H, W, 2] pixel flow i -> i+1;
+    occs_fw: optional [N-1, H, W] graded occlusion scores for weighting.
     Chains pairwise Procrustes fits: R_{i+1} = R_rel(i->i+1) @ R_i.
     Returns [N, 3, 3].
     """
@@ -102,7 +140,9 @@ def chain_rotations(masks: np.ndarray, flows_fw: np.ndarray,
     Rs = [np.eye(3)]
     for i in range(n - 1):
         Rrel = pair_rotation(masks[i] > 0, masks[i + 1] > 0, flows_fw[i],
-                             max_points=max_points)
+                             max_points=max_points,
+                             occ01=None if occs_fw is None else occs_fw[i],
+                             irls=irls)
         Rs.append(Rrel @ Rs[-1])
     return np.stack(Rs)
 

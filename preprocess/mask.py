@@ -109,11 +109,57 @@ def propagate_masks(imgs: list, init_rect=None, flow="dis") -> list:
     return masks
 
 
+def propagate_masks_bidir(imgs: list, init_rect=None, flow="dis") -> list:
+    """Bidirectional flow propagation with per-frame GrabCut arbitration.
+
+    The forward chain (anchored at frame 0) accumulates drift toward the end
+    of the video; a second chain anchored at the LAST frame drifts the other
+    way.  Per frame, pixels where the two chains AGREE become hard GrabCut
+    labels (eroded agreement-fg -> sure-fg, agreement-bg outside the dilated
+    union -> sure-bg) and the disagreement band is left probable, so the
+    image's own color model arbitrates exactly where the chains diverge.
+    Scored per frame: where chains already agree (IoU > 0.95) the consensus
+    is kept without re-segmentation.  (VERDICT r4 task 1a; the reference's
+    PointRend per-frame segmenter, ref:preprocess/mask.py:63-67, needs no
+    such machinery but needs downloaded weights.)"""
+    k = lambda s: np.ones((s, s), np.uint8)
+    fw = propagate_masks(imgs, init_rect, flow)
+    bw = propagate_masks(imgs[::-1], init_rect, flow)[::-1]
+    out = []
+    for t, img in enumerate(imgs):
+        a, b = fw[t] > 0, bw[t] > 0
+        inter = (a & b).astype(np.uint8)
+        union = (a | b).astype(np.uint8)
+        iou = inter.sum() / max(union.sum(), 1)
+        if iou > 0.95:
+            out.append(_largest_component(union))
+            continue
+        h, w = img.shape[:2]
+        tri = np.full((h, w), cv2.GC_PR_BGD, np.uint8)
+        tri[cv2.dilate(union, k(31)) > 0] = cv2.GC_PR_BGD
+        tri[union > 0] = cv2.GC_PR_FGD
+        tri[cv2.erode(inter, k(7)) > 0] = cv2.GC_FGD
+        tri[cv2.dilate(union, k(61)) == 0] = cv2.GC_BGD
+        bgd = np.zeros((1, 65), np.float64)
+        fgd = np.zeros((1, 65), np.float64)
+        try:
+            cv2.grabCut(img, tri, None, bgd, fgd, 3, cv2.GC_INIT_WITH_MASK)
+            cur = ((tri == cv2.GC_FGD)
+                   | (tri == cv2.GC_PR_FGD)).astype(np.uint8)
+        except cv2.error:
+            cur = union
+        if cur.sum() < 0.2 * max(inter.sum(), 1):
+            cur = union                         # refinement collapsed
+        out.append(_largest_component(cur))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("seqname")
     ap.add_argument("--masksrc", default="propagate",
-                    help="'propagate', 'grabcut' or 'dir=<path-to-mask-pngs>'")
+                    help="'propagate', 'propagate-bidir', 'grabcut' or "
+                         "'dir=<path-to-mask-pngs>'")
     ap.add_argument("--init_rect", default=None,
                     help="x,y,w,h GrabCut seed rectangle on frame 0 "
                          "(propagate mode)")
@@ -138,11 +184,12 @@ def main():
 
     paths = sorted(glob.glob(f"{datadir}/*"))
     prop_masks = None
-    if args.masksrc == "propagate":
+    if args.masksrc in ("propagate", "propagate-bidir"):
         rect = (tuple(int(v) for v in args.init_rect.split(","))
                 if args.init_rect else None)
-        prop_masks = propagate_masks([cv2.imread(p) for p in paths], rect,
-                                     flow=args.flow)
+        fn = (propagate_masks_bidir if args.masksrc == "propagate-bidir"
+              else propagate_masks)
+        prop_masks = fn([cv2.imread(p) for p in paths], rect, flow=args.flow)
 
     counter = 0
     for fi, path in enumerate(paths):
