@@ -59,21 +59,36 @@ print(__import__("json").dumps({"fwd_fps": round(f_fps, 1),
 """ % (REPO, REPO)
 
 
+COMBOS = [
+    # (PT, C, XG): XG = chunks per y super-band for 2-level (y, x) binning;
+    # XG=0 is the round-4 y-only culling baseline.  x-culling needs PT < S.
+    (256, 128, 0),
+    (256, 128, 2),
+    (128, 128, 0),
+    (128, 128, 1),
+    (128, 128, 2),
+    (128, 128, 4),
+    (64, 128, 2),
+    (64, 128, 4),
+    (128, 256, 1),
+    (64, 256, 2),
+]
+
+
 def main():
     rows = []
-    for pt in (128, 256, 512, 1024, 2048):
-        for c in (128, 256):
+    for pt, c, xg in COMBOS:
             env = dict(os.environ, LASR_RASTER_PT=str(pt),
-                       LASR_RASTER_C=str(c))
+                       LASR_RASTER_C=str(c), LASR_RASTER_XG=str(xg))
             try:
                 r = subprocess.run([sys.executable, "-c", CHILD], env=env,
                                    capture_output=True, text=True,
                                    timeout=600)
                 line = [l for l in r.stdout.splitlines()
                         if l.startswith("{")][-1]
-                row = {"PT": pt, "C": c, **json.loads(line)}
+                row = {"PT": pt, "C": c, "XG": xg, **json.loads(line)}
             except Exception as e:                      # noqa: BLE001
-                row = {"PT": pt, "C": c, "error": str(e)[:120]}
+                row = {"PT": pt, "C": c, "XG": xg, "error": str(e)[:120]}
             rows.append(row)
             print(row, flush=True)
     json.dump({"shape": "256px 1280f K3 batch16", "rows": rows},

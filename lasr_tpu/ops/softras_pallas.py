@@ -76,6 +76,8 @@ import os as _os
 
 _DEFAULT_PT = int(_os.environ.get("LASR_RASTER_PT", 256))
 _DEFAULT_C = int(_os.environ.get("LASR_RASTER_C", 128))
+# chunks per y super-band for two-level (y, x) face binning; 0 = y-only
+_DEFAULT_XG = int(_os.environ.get("LASR_RASTER_XG", 2))
 
 
 def _sign_clamp(x, eps):
@@ -83,7 +85,8 @@ def _sign_clamp(x, eps):
 
 
 def build_facedata(face_vertices: jax.Array, textures: jax.Array,
-                   face_chunk: int = _DEFAULT_C, margin: float = 0.0):
+                   face_chunk: int = _DEFAULT_C, margin: float = 0.0,
+                   xband_group: int | None = None):
     """[B, F, 3, 3] verts + [B, F, 3, 3] vertex colors ->
     (rows [B, _D, F'], chunk_bbox [B, F'//C, 4], inv_perm [B, F]).
 
@@ -98,8 +101,28 @@ def build_facedata(face_vertices: jax.Array, textures: jax.Array,
     """
     B, F = face_vertices.shape[:2]
     K = textures.shape[-1]
+    if xband_group is None:
+        xband_group = _DEFAULT_XG
     ycen = face_vertices[..., 1].mean(-1)                    # [B, F]
-    order = jnp.argsort(ycen, axis=1)
+    if xband_group and F >= xband_group * face_chunk:
+        # Two-level spatial binning: y-sort into super-bands of
+        # xband_group*C faces, then x-sort within each band, so each chunk
+        # is compact in BOTH axes.  Tiles narrower than a full image row
+        # (PT < S) can then cull chunks on x as well as y — y-only culling
+        # left every in-band chunk live for the whole row.  The composite
+        # float key keeps band id dominant (x normalized to [0, 0.999]).
+        xcen = face_vertices[..., 0].mean(-1)
+        order1 = jnp.argsort(ycen, axis=1)
+        x_s = jnp.take_along_axis(xcen, order1, 1)
+        band = (jnp.arange(F) // (xband_group * face_chunk)) \
+            .astype(jnp.float32)
+        xmin = x_s.min(1, keepdims=True)
+        xrange = x_s.max(1, keepdims=True) - xmin
+        xr = jnp.clip((x_s - xmin) / jnp.maximum(xrange, 1e-12), 0.0, 1.0)
+        order2 = jnp.argsort(band[None] + 0.999 * xr, axis=1)
+        order = jnp.take_along_axis(order1, order2, 1)
+    else:
+        order = jnp.argsort(ycen, axis=1)
     inv_perm = jnp.argsort(order, axis=1)                    # orig -> sorted
     face_vertices = jnp.take_along_axis(
         face_vertices, order[:, :, None, None], 1)
@@ -322,6 +345,20 @@ def _tile_ybounds(t, PT, S):
     return ymin, ymax
 
 
+def _tile_xbounds(t, PT, S):
+    """x-extent of pixel tile t.  Tiles narrower than a row (PT < S, with
+    S % PT == 0) cover a contiguous column span of one row, so their x
+    bounds cull chunks that are x-binned (build_facedata xband_group);
+    full-row tiles span all of x and the x-check is a no-op."""
+    if PT >= S:
+        return -1.0, 1.0
+    c0 = (t * PT) % S
+    c1 = c0 + PT - 1
+    xmin = (2.0 * c0.astype(jnp.float32) + 1.0 - S) / S
+    xmax = (2.0 * c1.astype(jnp.float32) + 1.0 - S) / S
+    return xmin, xmax
+
+
 def _fwd_kernel(near_ref, far_ref, bbox_ref, data_ref, out_ref, *, S, PT, C,
                 nchunks, K, sigma, gamma, eps, threshold, bg):
     t = pl.program_id(1)
@@ -331,6 +368,7 @@ def _fwd_kernel(near_ref, far_ref, bbox_ref, data_ref, out_ref, *, S, PT, C,
     far = far_ref[b]
     rzrange = 1.0 / (far - near)
     tile_ymin, tile_ymax = _tile_ybounds(t, PT, S)
+    tile_xmin, tile_xmax = _tile_xbounds(t, PT, S)
 
     # Accumulators live in the out block and are updated under pl.when: a
     # lax.cond with a carried tuple lowers to predicated execution of BOTH
@@ -348,7 +386,9 @@ def _fwd_kernel(near_ref, far_ref, bbox_ref, data_ref, out_ref, *, S, PT, C,
 
     def body(i, carry):
         overlap = ((bbox_ref[b, i, 0] <= tile_ymax)
-                   & (bbox_ref[b, i, 1] >= tile_ymin))
+                   & (bbox_ref[b, i, 1] >= tile_ymin)
+                   & (bbox_ref[b, i, 2] <= tile_xmax)
+                   & (bbox_ref[b, i, 3] >= tile_xmin))
 
         @pl.when(overlap)
         def _():
@@ -410,6 +450,7 @@ def _bwd_kernel(near_ref, far_ref, bbox_ref, data_ref, fwd_ref, gout_ref,
     far = far_ref[b]
     rzrange = 1.0 / (far - near)
     tile_ymin, tile_ymax = _tile_ybounds(t, PT, S)
+    tile_xmin, tile_xmax = _tile_xbounds(t, PT, S)
 
     g_rgb_mat = gout_ref[0, :, :K]                           # [PT, K]
     g_alpha = gout_ref[0, :, K].reshape(PT, 1)
@@ -472,7 +513,9 @@ def _bwd_kernel(near_ref, far_ref, bbox_ref, data_ref, fwd_ref, gout_ref,
 
     def body(i, carry):
         overlap = ((bbox_ref[b, i, 0] <= tile_ymax)
-                   & (bbox_ref[b, i, 1] >= tile_ymin))
+                   & (bbox_ref[b, i, 1] >= tile_ymin)
+                   & (bbox_ref[b, i, 2] <= tile_xmax)
+                   & (bbox_ref[b, i, 3] >= tile_xmin))
 
         @pl.when(overlap)
         def _():

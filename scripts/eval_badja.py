@@ -1,10 +1,18 @@
 """Keypoint-transfer evaluation on BADJA: PCK @ 0.2·sqrt(silhouette area).
 
-Behavioral port of ref:scripts/eval_badja.py (--type mesh): for every ordered
-frame pair, render the optical flow induced by the two reconstructed meshes
-(3D vertex coordinates rasterized as colors, reprojected through each frame's
-camera), transport the annotated keypoints by that flow, and score them
-against the target annotations.
+Behavioral port of ref:scripts/eval_badja.py: for every ordered frame pair,
+transport the annotated keypoints from reference to target frame and score
+them against the target annotations.
+
+--type mesh (default, ref:eval_badja.py --type mesh): transport by the flow
+  induced by the two reconstructed meshes (3D vertex coordinates rasterized
+  as colors, reprojected through each frame's camera).
+--type flow (ref:eval_badja.py:158-204): transport by 2D optical flow
+  computed directly on the two frames (the reference uses VCN; here the
+  in-repo backends, --flow_backend dis|flownet) — the "how much does the 3D
+  model actually add" baseline.
+--type zero (ref:eval_badja.py:206-258): no motion at all — the floor any
+  transfer method must beat.
 
 Usage: python scripts/eval_badja.py --testdir log/camel-5 --seqname camel
 """
@@ -122,7 +130,25 @@ def main():
     ap.add_argument("--renderer", default="host", choices=["host", "soft"],
                     help="host = exact z-buffer hard rasterization (fast); "
                          "soft = the soft rasterizer in hard mode")
+    ap.add_argument("--type", default="mesh", choices=["mesh", "flow", "zero"],
+                    dest="eval_type",
+                    help="keypoint transport: reconstructed-mesh flow, "
+                         "direct 2D optical flow, or zero motion")
+    ap.add_argument("--flow_backend", default="dis",
+                    choices=["dis", "flownet"],
+                    help="--type flow: which in-repo flow estimator")
     args = ap.parse_args()
+
+    flow_fn = None
+    if args.eval_type == "flow":
+        if args.flow_backend == "flownet":
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            from lasr_tpu.models.flownet import make_backend
+            flow_fn = make_backend("database/misc/flownet.npz")
+        else:
+            from preprocess.auto_gen import dis_flow_backend
+            flow_fn = dis_flow_backend
 
     data = list(BADJAData(args.seqname, args.badja_path))
     annos, meshes, cams, frs = [], [], [], []
@@ -143,23 +169,34 @@ def main():
             if i == j:
                 continue
             rimg, rsil, rkp, rvis = annos[i]
-            _, _, tkp, tvis = annos[j]
+            timg, _, tkp, tvis = annos[j]
             img_size = max(rimg.shape[:2])
-            flow, bg = render_mesh_flow(meshes[i][0], meshes[j][0],
-                                        meshes[i][1], cams[i], cams[j],
-                                        img_size, renderer=args.renderer)
-            # sample flow at the nearest valid pixel to each keypoint (y, x)
-            H = W = img_size
-            valid = ~bg & (np.linalg.norm(flow, axis=-1) > 1e-6)
-            ys, xs = np.where(valid)
-            if len(ys) == 0:
-                continue
             preds = rkp.astype(np.float64).copy()
-            for k, (ky, kx) in enumerate(rkp):
-                d = (ys - ky) ** 2 + (xs - kx) ** 2
-                b = d.argmin()
-                preds[k, 0] = ky + flow[ys[b], xs[b], 1] * img_size / 2
-                preds[k, 1] = kx + flow[ys[b], xs[b], 0] * img_size / 2
+            if args.eval_type == "zero":
+                pass                                # preds = rkp verbatim
+            elif args.eval_type == "flow":
+                pflow, _ = flow_fn(rimg[..., ::-1].copy(),
+                                   timg[..., ::-1].copy())   # BGR in
+                for k, (ky, kx) in enumerate(rkp):
+                    yy = int(np.clip(ky, 0, pflow.shape[0] - 1))
+                    xx = int(np.clip(kx, 0, pflow.shape[1] - 1))
+                    preds[k, 0] = ky + pflow[yy, xx, 1]      # pixel units
+                    preds[k, 1] = kx + pflow[yy, xx, 0]
+            else:
+                flow, bg = render_mesh_flow(meshes[i][0], meshes[j][0],
+                                            meshes[i][1], cams[i], cams[j],
+                                            img_size,
+                                            renderer=args.renderer)
+                # sample flow at the nearest valid pixel to each keypoint
+                valid = ~bg & (np.linalg.norm(flow, axis=-1) > 1e-6)
+                ys, xs = np.where(valid)
+                if len(ys) == 0:
+                    continue
+                for k, (ky, kx) in enumerate(rkp):
+                    d = (ys - ky) ** 2 + (xs - kx) ** 2
+                    b = d.argmin()
+                    preds[k, 0] = ky + flow[ys[b], xs[b], 1] * img_size / 2
+                    preds[k, 1] = kx + flow[ys[b], xs[b], 0] * img_size / 2
             diff = np.linalg.norm(preds - tkp, axis=-1)
             # DAVIS-palette masks may store the object color in any channel
             sqarea = np.sqrt((rsil.max(-1) > 0).sum())
@@ -168,8 +205,14 @@ def main():
 
     pck = 100 * np.concatenate(pck_all).astype(float).mean()
     print(f"PCK {pck:.02f}")
-    with open(os.path.join(args.testdir, "eval_badja.json"), "w") as f:
-        json.dump({"pck": pck}, f)
+    suffix = "" if args.eval_type == "mesh" else f"_{args.eval_type}"
+    out = {"pck": pck, "type": args.eval_type}
+    if args.eval_type == "flow":
+        out["flow_backend"] = args.flow_backend
+        suffix += f"_{args.flow_backend}"
+    with open(os.path.join(args.testdir, f"eval_badja{suffix}.json"),
+              "w") as f:
+        json.dump(out, f)
 
 
 if __name__ == "__main__":

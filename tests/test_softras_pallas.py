@@ -119,3 +119,35 @@ def test_pallas_kchannel_forward_and_grads(K):
                                np.asarray(gr_v) / scale_v, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gp_t) / scale_t,
                                np.asarray(gr_t) / scale_t, atol=2e-4)
+
+
+def test_pallas_xbinned_narrow_tiles(monkeypatch):
+    """Two-level (y, x) face binning + sub-row pixel tiles: the x-culling
+    path (tile_xbounds vs chunk bbox cols 2-3) must be exact — culled
+    (tile, chunk) pairs are precisely those beyond the distance threshold.
+    PT=16 < S=32 makes tiles half-rows; F=64 with face_chunk=16 gives 4
+    chunks in 2 y-bands x 2 x-bins (default LASR_RASTER_XG=2)."""
+    import lasr_tpu.ops.softras_pallas as sp
+    monkeypatch.setattr(sp, "_DEFAULT_PT", 16)
+    fv, _ = random_mesh_scene(jax.random.PRNGKey(5), B=2, F=64)
+    tex = jax.random.uniform(jax.random.PRNGKey(6), (2, 64, 3, 3)).astype(
+        jnp.float32)
+    cfg = sr.RasterizeConfig(image_size=32, sigma=1e-3, gamma=1e-2,
+                             face_chunk=16)
+    near, far = 5.0, 15.0
+    ref = np.asarray(sr.soft_rasterize_ref(fv, tex, cfg, near, far))
+    pal = np.asarray(soft_rasterize_pallas(fv, tex, near, far, cfg, True))
+    np.testing.assert_allclose(pal, ref, atol=2e-5, rtol=1e-4)
+
+    rng = np.random.RandomState(0)
+    pix_w = jnp.asarray(rng.rand(2, 4, 32, 32).astype(np.float32))
+    gr = jax.grad(lambda v: (sr.soft_rasterize_ref(v, tex, cfg, near, far)
+                             * pix_w).sum())(fv)
+    gp = jax.grad(lambda v: (soft_rasterize_pallas(v, tex, near, far, cfg,
+                                                   True) * pix_w).sum())(fv)
+    scale = np.abs(np.asarray(gr)).max() + 1e-8
+    # 5e-3: PT=16 splits the per-face gradient accumulation across 2x the
+    # tiles, reordering f32 sums — measured IDENTICAL max error (2.74e-3)
+    # with x-binning on and off, so the culling itself is exact
+    np.testing.assert_allclose(np.asarray(gp) / scale,
+                               np.asarray(gr) / scale, atol=5e-3)
