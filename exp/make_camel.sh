@@ -21,6 +21,6 @@ rm -rf $root/Annotations/Full-Resolution/camel-tmp \
        $root/Camera/Full-Resolution/camel-tmp \
        $root/Meshes/Full-Resolution/camel-tmp
 
-python preprocess/mask.py camel --masksrc propagate
+python preprocess/mask.py camel --masksrc propagate-bidir
 bash preprocess/auto_gen.sh camel
 echo "camel sequence ready: run 'bash scripts/template.sh camel'"

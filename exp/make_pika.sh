@@ -32,6 +32,6 @@ done
 
 # the reference's pipeline, ffmpeg/PointRend/VCN replaced in-repo
 python preprocess/video2frames.py pika database/raw/pika.mp4 --fps 10
-python preprocess/mask.py pika --masksrc propagate
+python preprocess/mask.py pika --masksrc propagate-bidir
 bash preprocess/auto_gen.sh pika
 echo "pika sequence ready: run 'bash scripts/template.sh pika'"

@@ -34,9 +34,16 @@ def sync(x):
 cfg = RasterizeConfig(image_size=256, sigma=1e-4, gamma=1e-2)
 r = np.random.RandomState(0)
 batch = 16
-verts = (r.randn(batch, 642, 3) * 0.5).astype(np.float32)
+# a REAL mesh filling the crop, like training frames: the previous random
+# triangle soup (centers uniform +-0.9, offsets 0.15) had a measured
+# (tile, chunk) cull factor of 1.0 - the DENSE regime - which made every
+# culling-geometry variant look like a wash.  The icosphere-fill scene
+# culls 4.8x with y-only chunks (measured host-side with the kernel's own
+# bbox logic), matching training.
+v0, faces = icosphere(3)
+verts = np.tile((v0 * 0.7)[None], (batch, 1, 1)).astype(np.float32)
+verts += (r.randn(batch, 1, 3) * 0.05).astype(np.float32)
 verts[:, :, 2] += 10.0
-_, faces = icosphere(3)
 fv = jnp.asarray(verts[:, faces])
 ft = jnp.asarray(r.rand(batch, len(faces), 3, 3).astype(np.float32))
 near = jnp.full((batch,), 8.0); far = jnp.full((batch,), 12.0)
@@ -91,7 +98,7 @@ def main():
                 row = {"PT": pt, "C": c, "XG": xg, "error": str(e)[:120]}
             rows.append(row)
             print(row, flush=True)
-    json.dump({"shape": "256px 1280f K3 batch16", "rows": rows},
+    json.dump({"shape": "256px 1280f K3 batch16 icosphere-fill", "rows": rows},
               open("results/raster_tile_sweep.json", "w"), indent=1)
 
 

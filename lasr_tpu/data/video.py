@@ -360,6 +360,26 @@ class VideoDataset:
         }
 
 
+def decode_device_arrays(dev_arrays: dict) -> dict:
+    """Wire dtypes -> compute dtypes, once, on device.
+
+    The compact layout ships uint8 images / f16 flow-occ-DT / bool masks to
+    minimize host->device transfer; this expands them to the float32 the
+    training program consumes.  Decoding OUTSIDE the scan matters: resident
+    sub-word arrays made the per-step batch gathers run as HBM-saturating
+    async DMA, stalling the rasterizer custom-calls for +40 ms/step."""
+    import jax.numpy as jnp
+    out = {}
+    for k, v in dev_arrays.items():
+        v = jnp.asarray(v)
+        if v.dtype == jnp.uint8:
+            v = v.astype(jnp.float32) / 255.0
+        elif v.dtype != jnp.float32 and k != "frameid":
+            v = v.astype(jnp.float32)
+        out[k] = v
+    return out
+
+
 def gather_batch(dev_arrays: dict, pair_ids) -> dict:
     """Select pairs and lay out [2b, ...] = frame0 block | frame1 block
     (jit-friendly; pair_ids may be traced).  Accepts both the legacy

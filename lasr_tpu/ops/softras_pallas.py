@@ -76,8 +76,12 @@ import os as _os
 
 _DEFAULT_PT = int(_os.environ.get("LASR_RASTER_PT", 256))
 _DEFAULT_C = int(_os.environ.get("LASR_RASTER_C", 128))
-# chunks per y super-band for two-level (y, x) face binning; 0 = y-only
-_DEFAULT_XG = int(_os.environ.get("LASR_RASTER_XG", 2))
+# chunks per y super-band for two-level (y, x) face binning; 0 = y-only.
+# DEFAULT 0: grouping XG chunks into one y band makes every chunk's y-span
+# XG times coarser, and with full-row tiles (PT=256) the x-cull that was
+# supposed to pay for it never fires — measured +13 ms/step on the spot3
+# training step.  Only worth exploring together with PT < S.
+_DEFAULT_XG = int(_os.environ.get("LASR_RASTER_XG", 0))
 
 
 def _sign_clamp(x, eps):

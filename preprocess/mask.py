@@ -39,7 +39,12 @@ def _largest_component(mask: np.ndarray) -> np.ndarray:
     return (labels == best).astype(np.uint8)
 
 
-def grabcut_mask(img: np.ndarray, rect=None) -> np.ndarray:
+def grabcut_mask(img: np.ndarray, rect=None, seed: int = 0) -> np.ndarray:
+    # cv2.grabCut initializes its color GMMs with kmeans++ draws from the
+    # PROCESS-GLOBAL cv2 RNG: without pinning, two runs of the same chain
+    # produce different masks (measured 0.967 vs 0.898 mean IoU on pika —
+    # chain error compounds frame to frame).  Seed per call.
+    cv2.setRNGSeed(seed)
     h, w = img.shape[:2]
     if rect is None:
         rect = (w // 8, h // 8, w * 3 // 4, h * 3 // 4)
@@ -82,6 +87,7 @@ def propagate_masks(imgs: list, init_rect=None, flow="dis") -> list:
     k = lambda s: np.ones((s, s), np.uint8)
     masks = [grabcut_mask(imgs[0], init_rect)]
     for t in range(1, len(imgs)):
+        cv2.setRNGSeed(t)                      # deterministic refinement
         bw = bw_flow(imgs[t - 1], imgs[t])     # cur -> prev, pulls the mask
         g1 = cv2.cvtColor(imgs[t], cv2.COLOR_BGR2GRAY)
         h, w = g1.shape
@@ -127,6 +133,7 @@ def propagate_masks_bidir(imgs: list, init_rect=None, flow="dis") -> list:
     bw = propagate_masks(imgs[::-1], init_rect, flow)[::-1]
     out = []
     for t, img in enumerate(imgs):
+        cv2.setRNGSeed(1000 + t)               # deterministic arbitration
         a, b = fw[t] > 0, bw[t] > 0
         inter = (a & b).astype(np.uint8)
         union = (a | b).astype(np.uint8)
