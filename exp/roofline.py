@@ -58,10 +58,12 @@ def main():
                   if "transpose_jvp" in n) / steps
 
     dense_pairs = B * P * F
-    # y-band culling factor: chunks span ~1/nchunks of the y-sorted face
-    # range + threshold margin; round-3 measurement had fwd ~3x over the
-    # culled cost when culling silently degraded -> use 3 +/- 1
-    cull = 3.0
+    # y-band culling factor MEASURED host-side with the kernel's own bbox
+    # logic on an icosphere filling the crop (the training regime): live
+    # (tile, chunk) fraction 0.208 -> cull 4.8.  (The old random-soup
+    # sweep scene measured 1.0 - dense - which is why culling variants
+    # looked like a wash there.)
+    cull = 4.8
     pairs = dense_pairs / cull
     fwd_ops = pairs * ops_per_pair
     vpu_s = fwd_ops / VPU_OPS
@@ -89,8 +91,10 @@ def main():
             "of VPU peak under the stated cull/op-count uncertainty of ~2x); "
             "the worst-case HBM bound is ~{:.1f} ms, far below the measured "
             "time, so memory is not the limiter.  Further speedups require "
-            "fewer pairs (x-culling measured a wash: narrow tiles cost ~9% "
-            "fps, results/raster_tile_sweep.json) or fewer ops/pair (bounded "
+            "fewer pairs (2-level x-binning with full-row tiles measured "
+            "+13 ms/step - band grouping coarsens the y-cull; sub-row "
+            "tiles pay ~9%% fixed overhead before x-culling can recoup) "
+            "or fewer ops/pair (bounded "
             "by CUDA-parity exact distance semantics).  The bwd kernel "
             "reruns the same pair math plus gradient chains and sits at the "
             "same limit.".format(vpu_s * 1e3, fwd_ms,
