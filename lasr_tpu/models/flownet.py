@@ -232,53 +232,87 @@ def save_params(path: str, params):
     os.replace(tmp, path)
 
 
-def make_backend(weights_path: str, infer_size: int = 256):
+def make_backend(weights_path: str, infer_size: int = 256,
+                 scales=(1.0, 0.5)):
     """auto_gen-compatible backend: (img0, img1) BGR uint8 ->
-    (flow [H, W, 3], occ [H, W]) with forward/backward consistency."""
+    (flow [H, W, 3], occ [H, W]) with forward/backward consistency.
+
+    Test-time two-scale inference: the PWC pyramid's reach tops out around
+    ~60 px at 256 px inference (syn-dog-15 pair 11, 69 px GT motion, scored
+    41.7 px EPE — the round-4 validation outlier).  Running the net again
+    at half resolution halves the apparent motion; per pixel, the scale
+    whose forward-backward error is smaller wins.  Pass scales=(1.0,) for
+    the single-scale behavior."""
     import cv2
 
     params = load_params(weights_path)
     net = FlowNet()
+    runners = {}
+    for sc in scales:
+        isz = max(int(infer_size * sc) // 32 * 32, 64)
 
-    @jax.jit
-    def _run(a, b):
-        return full_res_flow(net.apply(params, a, b), (infer_size, infer_size))
+        def _make(isz):
+            @jax.jit
+            def _run(a, b):
+                return full_res_flow(net.apply(params, a, b), (isz, isz))
+            return _run
+        runners[isz] = _make(isz)
 
-    def backend(img0, img1):
-        H, W = img0.shape[:2]
-        a = cv2.resize(img0, (infer_size, infer_size))[..., ::-1] / 255.0
-        b = cv2.resize(img1, (infer_size, infer_size))[..., ::-1] / 255.0
+    def infer_at(img0, img1, isz, run, W, H):
+        """(flow full-res px [isz, isz, 2], fw/bw err full-res px)."""
+        a = cv2.resize(img0, (isz, isz))[..., ::-1] / 255.0
+        b = cv2.resize(img1, (isz, isz))[..., ::-1] / 255.0
         a = jnp.asarray(a[None], jnp.float32)
         b = jnp.asarray(b[None], jnp.float32)
-        fw = np.asarray(_run(a, b))[0]
-        bw = np.asarray(_run(b, a))[0]
-        # forward-backward consistency -> GRADED occlusion score.  Sign
-        # convention (must match the DIS backend and the VCN scores the
-        # reference ships, ref:dataloader/vidbase.py:151): the flow loss
-        # weights pixels by sigmoid(-occ) (lasr.py, ref:mesh_net.py:403-406),
-        # so CONSISTENT pixels need a large NEGATIVE score (weight ~1) and
-        # occluded ones a large positive score (weight ~0).  The round-4
-        # binary ±10 score threw away the error magnitude — a 3.1 px and a
-        # 40 px inconsistency got the same weight; the graded clip(err-1)
-        # matches preprocess/auto_gen.py:57 so both backends' scores are
-        # interchangeable downstream.  err is measured in FULL-RES pixels
-        # (per-axis scale applied before the norm) like the DIS backend's.
-        yy, xx = np.mgrid[:infer_size, :infer_size]
-        scale = np.array([W / infer_size, H / infer_size], np.float32)
+        fw = np.asarray(run(a, b))[0]
+        bw = np.asarray(run(b, a))[0]
+        yy, xx = np.mgrid[:isz, :isz]
+        scale = np.array([W / isz, H / isz], np.float32)
         bx = cv2.remap(bw[..., 0],
-                       np.clip(xx + fw[..., 0], 0, infer_size - 1)
+                       np.clip(xx + fw[..., 0], 0, isz - 1)
                        .astype(np.float32),
-                       np.clip(yy + fw[..., 1], 0, infer_size - 1)
+                       np.clip(yy + fw[..., 1], 0, isz - 1)
                        .astype(np.float32), cv2.INTER_LINEAR)
         by = cv2.remap(bw[..., 1],
-                       np.clip(xx + fw[..., 0], 0, infer_size - 1)
+                       np.clip(xx + fw[..., 0], 0, isz - 1)
                        .astype(np.float32),
-                       np.clip(yy + fw[..., 1], 0, infer_size - 1)
+                       np.clip(yy + fw[..., 1], 0, isz - 1)
                        .astype(np.float32), cv2.INTER_LINEAR)
         err = np.sqrt(((fw[..., 0] + bx) * scale[0]) ** 2
                       + ((fw[..., 1] + by) * scale[1]) ** 2)
+        return fw * scale, err
+
+    def backend(img0, img1):
+        H, W = img0.shape[:2]
+        S0 = max(infer_size, 64)
+        flows, errs = [], []
+        for isz, run in runners.items():
+            f, e = infer_at(img0, img1, isz, run, W, H)
+            flows.append(cv2.resize(f, (S0, S0),
+                                    interpolation=cv2.INTER_LINEAR))
+            errs.append(cv2.resize(e, (S0, S0),
+                                   interpolation=cv2.INTER_LINEAR))
+        flows = np.stack(flows)                       # [n, S0, S0, 2]
+        errs = np.stack(errs)                         # [n, S0, S0]
+        # Coarser scales produce SMOOTHER flow whose fw/bw error is low
+        # even when inaccurate (consistency is necessary, not sufficient),
+        # so a raw argmin degraded mid-range pairs (11.9 -> 12.1 px mean).
+        # Penalize non-native scales: they only win where the native scale
+        # clearly fails (large-motion regions beyond the pyramid's reach).
+        biased = errs.copy()
+        biased[1:] += 4.0                             # px
+        pick = np.argmin(biased, axis=0)              # per-pixel winner
+        fw = np.take_along_axis(
+            flows, pick[None, ..., None], 0)[0]       # full-res px units
+        err = np.take_along_axis(errs, pick[None], 0)[0]
+        # GRADED occlusion score.  Sign convention (must match the DIS
+        # backend and the VCN scores the reference ships,
+        # ref:dataloader/vidbase.py:151): the flow loss weights pixels by
+        # sigmoid(-occ) (lasr.py, ref:mesh_net.py:403-406), so CONSISTENT
+        # pixels get a large NEGATIVE score.  clip(err_px - 1) matches
+        # preprocess/auto_gen.py:57, interchangeable downstream.
         occ = np.clip(err - 1.0, -10.0, 100.0).astype(np.float32)
-        flow = np.concatenate([fw * scale, occ[..., None]], -1)
+        flow = np.concatenate([fw, occ[..., None]], -1)
         flow = cv2.resize(flow, (W, H), interpolation=cv2.INTER_LINEAR)
         occ_full = flow[..., 2].copy()
         # channel 2 of the written flow is the validity INDICATOR consumed
