@@ -211,12 +211,101 @@ def chain_rotations_averaged(masks: np.ndarray, flows_fw: np.ndarray,
     return np.stack(Rs)
 
 
+def _rotvec(R: np.ndarray) -> np.ndarray:
+    import cv2
+
+    v, _ = cv2.Rodrigues(np.ascontiguousarray(R, np.float64))
+    return v.ravel()
+
+
+def _rotmat(v: np.ndarray) -> np.ndarray:
+    import cv2
+
+    R, _ = cv2.Rodrigues(np.ascontiguousarray(v, np.float64))
+    return R
+
+
+def close_chain(chain: np.ndarray, R_c: np.ndarray) -> np.ndarray:
+    """Distribute a loop-closure residual along a chained rotation estimate.
+
+    chain: [N, 3, 3] chained per-frame rotations (R_0 = I); R_c: measured
+    relative rotation of the closure pair, x_first ~ R_c @ x_last.  If the
+    chain were drift-free, R_c @ chain[-1] = chain[0] = I.  The residual is
+    distributed in the OBJECT frame (right-multiplied), proportional to the
+    cumulative estimated step magnitude — measured on pika (a full orbit):
+    right-frame distribution cuts gauge-aligned per-frame error 36.4 -> 22.0
+    deg mean / 71 -> 35 max, where left-frame (world) distribution makes it
+    WORSE (55 mean): the chain's drift lives in the object-facing axes.
+    """
+    n = chain.shape[0]
+    steps = []
+    for i in range(n - 1):
+        tr = (np.trace(chain[i + 1] @ chain[i].T) - 1.0) / 2.0
+        steps.append(np.degrees(np.arccos(np.clip(tr, -1.0, 1.0))))
+    total = max(sum(steps), 1e-9)
+    cum = np.concatenate([[0.0], np.cumsum(steps)]) / total
+    # want chain[-1]' = R_c^{-1}: full-span correction D = chain[-1]^T R_c^T
+    logD = _rotvec(chain[-1].T @ R_c.T)
+    return np.stack([chain[i] @ _rotmat(cum[i] * logD) for i in range(n)])
+
+
+def detect_closure(img_last: np.ndarray, img_first: np.ndarray,
+                   mask_last: np.ndarray, mask_first: np.ndarray,
+                   max_points: int = 4000):
+    """Measure the wrap-pair (last -> first) rotation if the pixels support
+    it.  Returns R_c (x_first ~ R_c x_last) or None.
+
+    Orbit-style captures (the reference's synthetic sequences and many
+    object-scan videos) end near where they started; the wrap pair is then
+    a drift observation spanning the WHOLE chain.  Validity is decided from
+    pixels alone: DIS flow last->first must pass (a) a fw/bw consistency
+    gate inside the silhouette (median error < 5 px and >= 50% of pixels
+    < 3 px — measured 1.6 px / 73% on pika) and (b) a photometric gate:
+    warping the first frame by the flow must actually align it with the
+    last (median masked gray residual < 20 levels) — without (b), a flow
+    estimator shown two UNRELATED frames can return near-zero flow, which
+    is trivially fw/bw consistent.  Sequences that do not loop fail the
+    gates and the chain is left untouched.
+    """
+    import cv2
+
+    def _flow(a, b):
+        dis = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
+        return dis.calc(cv2.cvtColor(a, cv2.COLOR_BGR2GRAY),
+                        cv2.cvtColor(b, cv2.COLOR_BGR2GRAY), None)
+
+    f = _flow(img_last, img_first)          # last -> first
+    fb = _flow(img_first, img_last)         # first -> last
+    h, w = f.shape[:2]
+    xx, yy = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    fb_at = cv2.remap(fb, xx + f[..., 0], yy + f[..., 1], cv2.INTER_LINEAR,
+                      borderMode=cv2.BORDER_REPLICATE)
+    err = np.linalg.norm(f + fb_at, axis=-1)[mask_last]
+    if err.size == 0 or np.median(err) >= 5.0 or np.mean(err < 3.0) < 0.5:
+        return None
+    g_last = cv2.cvtColor(img_last, cv2.COLOR_BGR2GRAY).astype(np.float32)
+    g_first = cv2.cvtColor(img_first, cv2.COLOR_BGR2GRAY).astype(np.float32)
+    g_first_at = cv2.remap(g_first, xx + f[..., 0], yy + f[..., 1],
+                           cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
+    if np.median(np.abs(g_last - g_first_at)[mask_last]) >= 20.0:
+        return None
+    return pair_rotation(mask_last, mask_first, f, max_points=max_points)
+
+
 def chain_for_sequence(davis_root: str, seq: str,
-                       max_points: int = 4000) -> np.ndarray:
+                       max_points: int = 4000,
+                       close_loop: bool = True) -> np.ndarray:
     """Load masks + forward flow for a DAVIS-layout sequence and chain.
 
     Reads Annotations/<seq>/*.png and FlowFW/<seq>/flo-*.pfm (pixel flow,
     channel 2 unused).  Returns [N, 3, 3] per-frame rotations.
+
+    close_loop: additionally measure the last->first wrap pair from
+    JPEGImages and, when its flow passes the consistency gate
+    (detect_closure), distribute the accumulated drift along the chain
+    (close_chain).  On pika the uncorrected chain's 360-deg orbit came
+    back 122 deg from closed; the correction halves per-frame error.
     """
     import glob
     import os
@@ -243,5 +332,21 @@ def chain_for_sequence(davis_root: str, seq: str,
             flo = flo * np.asarray([sx, sy] + [1.0] * (flo.shape[-1] - 2),
                                    np.float32)
         flows.append(np.ascontiguousarray(flo[..., :2]))
-    return chain_rotations(masks.astype(np.float32), np.stack(flows),
-                           max_points=max_points)
+    chain = chain_rotations(masks.astype(np.float32), np.stack(flows),
+                            max_points=max_points)
+    if close_loop and len(mask_paths) >= 3:
+        img_paths = [p.replace("/Annotations/", "/JPEGImages/")
+                      .rsplit(".", 1)[0] + ".jpg" for p in mask_paths]
+        if os.path.exists(img_paths[0]) and os.path.exists(img_paths[-1]):
+            R_c = detect_closure(cv2.imread(img_paths[-1]),
+                                 cv2.imread(img_paths[0]),
+                                 masks[-1], masks[0],
+                                 max_points=max_points)
+            if R_c is not None:
+                res = chain[0] @ (R_c @ chain[-1]).T
+                drift = np.degrees(np.arccos(np.clip(
+                    (np.trace(res) - 1.0) / 2.0, -1.0, 1.0)))
+                print(f"cam_init: loop closure detected for {seq}; "
+                      f"distributing {drift:.1f} deg of chain drift")
+                chain = close_chain(chain, R_c)
+    return chain

@@ -202,3 +202,52 @@ def test_chain_rotations_averaged_valid_and_consistent():
         assert np.linalg.det(Ra) > 0.99
     for Rc, Ra in zip(chain, avg):
         assert _geo_deg(Rc, Ra) < 8.0      # no degradation vs the chain
+
+
+def test_close_chain_exact_closure():
+    """A drifting chain whose true closure is identity gets its endpoints
+    corrected: close_chain(chain, R_c) must make R_c @ chain[-1] = chain[0]
+    and leave chain[0] = I (gauge frame) unchanged."""
+    # a chain with injected per-step drift about a fixed object axis
+    steps = [_rot((0, 1, 0), 20.0) @ _rot((1, 0, 0), 3.0) for _ in range(8)]
+    chain = [np.eye(3)]
+    for Rrel in steps:
+        chain.append(Rrel @ chain[-1])
+    chain = np.stack(chain)
+    # closure measurement: last frame really coincides with the first
+    R_c = chain[0] @ chain[-1].T @ _rot((0, 0, 1), 0.0)
+    # perturb the measurement away from perfection to mimic estimation
+    R_c = _rot((0, 1, 0), 1.5) @ R_c
+    closed = caminit.close_chain(chain, R_c)
+    np.testing.assert_allclose(closed[0], chain[0], atol=1e-9)
+    # residual after correction is zero: R_c @ closed[-1] == closed[0]
+    assert _geo_deg(R_c @ closed[-1], closed[0]) < 1e-6
+    for R in closed:
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+        assert np.linalg.det(R) > 0.99
+
+
+def test_detect_closure_rejects_inconsistent_flow():
+    """Frames with no real correspondence (random textures) must fail the
+    fw/bw consistency gate and return None."""
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 255, (96, 96, 3), np.uint8)
+    b = rng.randint(0, 255, (96, 96, 3), np.uint8)
+    mask = np.zeros((96, 96), bool)
+    mask[24:72, 24:72] = True
+    assert caminit.detect_closure(a, b, mask, mask) is None
+
+
+def test_detect_closure_accepts_identical_frames():
+    """A trivially consistent pair (same image) passes the gate and yields
+    a near-identity rotation."""
+    img = np.zeros((96, 96, 3), np.uint8)
+    import cv2
+    cv2.circle(img, (48, 48), 30, (200, 180, 160), -1)
+    cv2.circle(img, (38, 40), 8, (90, 60, 30), -1)
+    mask = np.zeros((96, 96), bool)
+    ys, xs = np.mgrid[0:96, 0:96]
+    mask[(ys - 48) ** 2 + (xs - 48) ** 2 < 30 ** 2] = True
+    R = caminit.detect_closure(img, img.copy(), mask, mask)
+    assert R is not None
+    assert _geo_deg(R, np.eye(3)) < 5.0
