@@ -134,28 +134,25 @@ def propagate_masks_bidir(imgs: list, init_rect=None, flow="dis") -> list:
     PointRend per-frame segmenter, ref:preprocess/mask.py:63-67, needs no
     such machinery but needs downloaded weights.)
 
-    A final re-anchoring pass replaces each LOW-agreement frame within a
-    few hops of a high-agreement one with a fresh short-range propagation
-    from that trusted neighbor: the chains disagree most at their own
-    anchor frames (the forward chain starts from a blind GrabCut-rectangle
-    cut of frame 0), where the other chain has accumulated a full video of
-    drift — a few-hop re-propagation from an arbitrated high-agreement
-    frame beats arbitrating two bad sources (scored per sequence in
-    results/mask_quality_<seq>.json)."""
+    MEASURED NEGATIVE RESULT (pika, results history): replacing
+    low-agreement frames with a short re-propagation from the nearest
+    HIGH-agreement frame ("re-anchoring") degrades the output — mid-video
+    frames whose chains disagree but whose color-model arbitration scores
+    0.99 IoU dropped to ~0.92 (each warp+GrabCut hop loses a few percent),
+    and the weak first frames stayed ~0.85 (their error is a property of
+    the pixels — thin structures at the video's start — not of chain
+    drift).  Arbitration already extracts what the chains know; the pass
+    was removed."""
     k = lambda s: np.ones((s, s), np.uint8)
-    bw_flow = (_flownet_bw_flow_factory() if flow == "flownet"
-               else _dis_bw_flow)
     fw = propagate_masks(imgs, init_rect, flow)
     bw = propagate_masks(imgs[::-1], init_rect, flow)[::-1]
     out = []
-    agree = []
     for t, img in enumerate(imgs):
         cv2.setRNGSeed(1000 + t)               # deterministic arbitration
         a, b = fw[t] > 0, bw[t] > 0
         inter = (a & b).astype(np.uint8)
         union = (a | b).astype(np.uint8)
         iou = inter.sum() / max(union.sum(), 1)
-        agree.append(iou)
         if iou > 0.95:
             out.append(_largest_component(union))
             continue
@@ -176,24 +173,6 @@ def propagate_masks_bidir(imgs: list, init_rect=None, flow="dis") -> list:
         if cur.sum() < 0.2 * max(inter.sum(), 1):
             cur = union                         # refinement collapsed
         out.append(_largest_component(cur))
-
-    # re-anchor low-agreement frames from the nearest trusted frame
-    n = len(imgs)
-    trusted = [t for t in range(n) if agree[t] > 0.95]
-    max_hops = 5
-    for t in range(n):
-        if agree[t] > 0.95 or not trusted:
-            continue
-        src = min(trusted, key=lambda s: abs(s - t))
-        hops = abs(src - t)
-        if hops == 0 or hops > max_hops:
-            continue
-        step = 1 if t > src else -1
-        m = out[src]
-        for j in range(src, t, step):
-            m = _prop_step(m, imgs[j], imgs[j + step], bw_flow,
-                           2000 + 10 * t + abs(j - src))
-        out[t] = m
     return out
 
 
