@@ -223,13 +223,16 @@ class LasrModel:
         hyperparameters ("noise_base", "rscale", "flow_rampup").  Threading
         them as runtime arguments (instead of baking cfg constants into the
         HLO) lets every sweep configuration share one compiled epoch
-        program — a stage-0 recompile costs minutes on a tunneled TPU."""
+        program — a stage-0 recompile costs minutes on a tunneled TPU.
+        knobs["pnet"] likewise carries the frozen perceptual-net weights as
+        a traced pytree (see PerceptualLoss.__call__)."""
         cfg = self.cfg
         if knobs is None:
             knobs = {}
         noise_base = knobs.get("noise_base", cfg.noise_base)
         rscale = knobs.get("rscale", cfg.rscale)
         flow_rampup = knobs.get("flow_rampup", float(cfg.flow_rampup))
+        pnet = knobs.get("pnet")
         H, K, S = cfg.n_hypo, cfg.n_bones, cfg.img_size
         n2 = batch["imgs"].shape[0]      # 2b
         b = n2 // 2
@@ -450,7 +453,8 @@ class LasrModel:
             ], 0)
             rndpair = jnp.concatenate([img_rnd.reshape(-1, 3, S, S),
                                        texture_render.reshape(-1, 3, S, S)], 0)
-            percept = self.perceptual(2 * obspair - 1, 2 * rndpair - 1)
+            percept = self.perceptual(2 * obspair - 1, 2 * rndpair - 1,
+                                      params=pnet)
             tex_sub = tex_sub + 0.005 * percept.reshape(2, n2, H).sum(0)
             tex_sub = 0.25 * tex_sub
             total += tex_sub.mean()

@@ -88,14 +88,28 @@ class PerceptualLoss:
 
         self.params = jax.tree_util.tree_map_with_path(init_leaf, shapes)
 
-    def __call__(self, img0: jax.Array, img1: jax.Array) -> jax.Array:
-        """img0/img1 [B, 3, H, W] in [-1, 1] -> [B] distances."""
+    def __call__(self, img0: jax.Array, img1: jax.Array,
+                 params=None) -> jax.Array:
+        """img0/img1 [B, 3, H, W] in [-1, 1] -> [B] distances.
+
+        `params`: optional traced weight pytree (same structure as
+        self.params).  The trainer passes its device-resident copy through
+        the `knobs` program argument so the ~10 MB of frozen conv filters
+        are NOT baked into the HLO as constants — embedded, they ballooned
+        the scanned-epoch executable to 39 MB, and every stage re-shipped
+        it through the device transport at first dispatch (measured 97 s on
+        the tunneled chip) and re-constant-folded it at compile.  When None
+        (direct loss_fn calls in tests), the host-numpy copy is closed over
+        as before.
+        """
+        p = self.params if params is None else params
+
         def prep(im):
             im = (im - _SHIFT[None, :, None, None]) / _SCALE[None, :, None, None]
             return im.transpose(0, 2, 3, 1)
 
-        f0 = self.net.apply(self.params, prep(img0))
-        f1 = self.net.apply(self.params, prep(img1))
+        f0 = self.net.apply(p, prep(img0))
+        f1 = self.net.apply(p, prep(img1))
         total = 0.0
         for a, b in zip(f0, f1):
             cos = (_normalize_channels(a) * _normalize_channels(b)).sum(-1)

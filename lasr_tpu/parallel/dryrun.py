@@ -84,7 +84,10 @@ def run(n_devices: int) -> None:
     step_sharded = shard_step(step, mesh)
     ids = put_sharded_ids(np.arange(n_devices * b) % npairs, mesh)
     knobs = {"noise_base": jnp.asarray(0.2), "rscale": jnp.asarray(1.0),
-             "flow_rampup": jnp.asarray(0.0)}
+             "flow_rampup": jnp.asarray(0.0),
+             # perceptual weights as an argument, as in production (keeps
+             # the dryrun HLO free of the 39 MB constant block too)
+             "pnet": jax.tree.map(jnp.asarray, model.perceptual.params)}
     params, opt_state, loss = step_sharded(
         params, opt_state, dev_arrays, ids, jax.random.PRNGKey(0),
         jnp.asarray(0), jnp.asarray(0), knobs)

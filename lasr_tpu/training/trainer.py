@@ -170,6 +170,13 @@ class Trainer:
         # ("incompatible devices for jitted computation")
         self.params, self.opt_state = jax.device_put(
             (self.params, opt_state), self._rest_sharding())
+        # frozen perceptual-net weights ride along as a knobs argument (one
+        # upload here, zero per-dispatch cost) instead of as HLO constants:
+        # embedded, they were 39 of the epoch executable's 41 MB, and every
+        # stage re-shipped + re-constant-folded them (97 s first dispatch
+        # on the tunneled chip even on a persistent-cache hit)
+        self._pnet_dev = jax.device_put(self.model.perceptual.params,
+                                        self._rest_sharding())
         self._build_step()
         from concurrent.futures import ThreadPoolExecutor
         self._save_pool = ThreadPoolExecutor(max_workers=1,
@@ -241,7 +248,8 @@ class Trainer:
         return {"noise_base": jnp.asarray(cfg.noise_base, jnp.float32),
                 "rscale": jnp.asarray(cfg.rscale, jnp.float32),
                 "flow_rampup": jnp.asarray(float(cfg.flow_rampup),
-                                           jnp.float32)}
+                                           jnp.float32),
+                "pnet": self._pnet_dev}
 
     # ------------------------------------------------------------------
     def _load_pretrained(self, directory: str):

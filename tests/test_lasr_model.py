@@ -90,4 +90,35 @@ def test_energy_jits_and_noise_path():
     assert float(l3) == float(l4)
 
 
+@pytest.mark.slow
+def test_pnet_as_argument_matches_closure_and_shrinks_hlo():
+    """The frozen perceptual weights may arrive via knobs["pnet"] (how the
+    trainer ships them — one upload, not 39 MB of HLO constants per stage
+    executable).  The two paths must be bit-identical, and the argument
+    path's lowering must actually be free of the weight constants."""
+    cfg = LasrConfig(img_size=S, subdivide=1, num_epochs=10, n_bones=3,
+                     n_hypo=2, use_pallas=False, sigval=1e-3, opt_tex=True)
+    model = LasrModel(cfg)
+    params = model.init_params
+    batch = make_batch(2)
+    rng = jax.random.PRNGKey(0)
+    e = jnp.asarray(0)
+
+    l_closure, _ = model.loss_fn(params, batch, rng, e, e)
+    pnet = jax.tree.map(jnp.asarray, model.perceptual.params)
+    l_arg, _ = model.loss_fn(params, batch, rng, e, e, {"pnet": pnet})
+    assert float(l_closure) == float(l_arg)
+
+    low_closure = jax.jit(
+        lambda p, b: model.loss_fn(p, b, rng, e, e)[0]).lower(params, batch)
+    low_arg = jax.jit(
+        lambda p, b, k: model.loss_fn(p, b, rng, e, e, k)[0]).lower(
+            params, batch, {"pnet": pnet})
+    n_closure = len(low_closure.as_text())
+    n_arg = len(low_arg.as_text())
+    # at 64px the closure path embeds ~9.6 MB of conv filters; the argument
+    # path must not (topology tables etc. stay well under 1 MB)
+    assert n_closure > 5 * n_arg, (n_closure, n_arg)
+
+
 import jax.flatten_util  # noqa: E402  (used above)
